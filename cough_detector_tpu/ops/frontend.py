@@ -1,0 +1,375 @@
+"""Batched JAX audio feature front end.
+
+Capability-parity rebuild of the reference preprocessor
+(reference: src/preprocessing.py:13-550), inverted TPU-first:
+
+* the reference runs per-clip, CPU, object-oriented, one torchaudio transform
+  at a time; here every stage is a pure function of a *batch* of waveforms
+  `(B, n_samples)` and the whole chain jit-compiles into a handful of fused
+  XLA ops;
+* the STFT is expressed as two windowed DFT GEMMs plus the mel projection
+  GEMM — n_fft=512 matmuls are MXU-native (cf. MelT, PAPERS.md) — instead of
+  a scalar FFT;
+* per-clip reductions (peak normalize, dB top_db clamp, MFCC z-norm,
+  PCEN/contrast normalization) vectorize over the batch axis.
+
+Numerics match the torchaudio conventions the reference depends on to the
+≤1e-3 budget (BASELINE.md): HTK mel scale, unnormalized filters, reflect-pad
+centered STFT with a periodic Hann window, power-dB with amin=1e-10,
+orthonormal DCT-II, unbiased-std z-normalization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeatureConfig
+from . import filters
+
+# Full-fp32 MXU passes for all front-end GEMMs: the default bf16 passes cost
+# ~2.5e-3 relative error on the power spectrogram, blowing the ≤1e-3 parity
+# budget (BASELINE.md); these GEMMs are tiny (~56 MFLOP/clip) so the 3-6x
+# pass-count overhead is negligible against the throughput target.
+_PREC = jax.lax.Precision.HIGHEST
+
+# ---------------------------------------------------------------------------
+# Waveform-domain stages
+# ---------------------------------------------------------------------------
+
+
+def to_mono(waveform: jnp.ndarray) -> jnp.ndarray:
+    """(B, C, S) → (B, S) by channel mean; (B, S) passes through.
+
+    Reference: src/preprocessing.py:185-197.
+    """
+    if waveform.ndim == 3:
+        return jnp.mean(waveform, axis=1)
+    return waveform
+
+
+def peak_normalize(waveform: jnp.ndarray) -> jnp.ndarray:
+    """Per-clip peak normalization to [-1, 1]; silent clips pass unchanged.
+
+    Reference: src/preprocessing.py:199-212.
+    """
+    peak = jnp.max(jnp.abs(waveform), axis=-1, keepdims=True)
+    return jnp.where(peak > 0, waveform / jnp.where(peak > 0, peak, 1.0), waveform)
+
+
+def pre_emphasis(waveform: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:
+    """y[n] = x[n] - coef*x[n-1], first sample kept.
+
+    Reference: src/preprocessing.py:214-240.
+    """
+    shifted = jnp.pad(waveform[..., :-1], [(0, 0)] * (waveform.ndim - 1) + [(1, 0)])
+    out = waveform - coef * shifted
+    return out.at[..., 0].set(waveform[..., 0])
+
+
+def pad_or_trim(waveform: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Center-trim or center zero-pad the last axis to `length` (static).
+
+    Reference: src/preprocessing.py:358-385.
+    """
+    cur = waveform.shape[-1]
+    if cur == length:
+        return waveform
+    if cur > length:
+        start = (cur - length) // 2
+        return jax.lax.slice_in_dim(waveform, start, start + length, axis=-1)
+    pad = length - cur
+    left = pad // 2
+    cfgs = [(0, 0)] * (waveform.ndim - 1) + [(left, pad - left)]
+    return jnp.pad(waveform, cfgs)
+
+
+# ---------------------------------------------------------------------------
+# Spectral stages
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(
+    waveform: jnp.ndarray, n_fft: int, hop_length: int, center: bool = True
+) -> jnp.ndarray:
+    """(B, S) → (B, n_frames, n_fft) frames, reflect-padded when centered.
+
+    torch.stft(center=True, pad_mode="reflect") semantics
+    (reference: src/preprocessing.py:104-105).
+    """
+    if center:
+        half = n_fft // 2
+        waveform = jnp.pad(waveform, [(0, 0), (half, half)], mode="reflect")
+    n_frames = (waveform.shape[-1] - n_fft) // hop_length + 1
+    # Static gather index map: (n_frames, n_fft). XLA lowers this to an
+    # efficient strided gather; inside the Pallas kernel the equivalent is
+    # direct VMEM slicing.
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    )
+    return waveform[:, idx]
+
+
+def power_spectrogram(
+    waveform: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    power: float = 2.0,
+    method: str = "fft",
+) -> jnp.ndarray:
+    """Windowed power spectrogram: (B, S) → (B, frames, freqs).
+
+    Matches torchaudio.transforms.Spectrogram(power=2, center=True,
+    pad_mode="reflect") (reference: src/preprocessing.py:94-106,131-136).
+
+    method="fft"  — windowed frames through XLA's FFT HLO. Tracks torch's FFT
+                    to ~6e-7, keeping the full stacked-feature deviation well
+                    inside the ≤1e-3 budget even after the dB/log stages
+                    amplify error on near-zero bins.
+    method="gemm" — DFT as two windowed matmuls (MXU-native, the formulation
+                    the fused Pallas kernel uses; cf. MelT, PAPERS.md).
+                    ~1e-4 spectrogram error: fine for serving, measured
+                    against the budget in the Pallas parity tests.
+    """
+    frames = frame_signal(waveform, n_fft, hop_length)
+    if method == "fft":
+        win = jnp.asarray(
+            filters.padded_window(win_length, n_fft).astype(np.float32)
+        )
+        fft = jnp.fft.rfft(frames * win, axis=-1)
+        sq = jnp.real(fft) ** 2 + jnp.imag(fft) ** 2
+    elif method == "gemm":
+        c, s = filters.dft_matrices(n_fft, win_length)
+        re = jnp.matmul(frames, jnp.asarray(c), preferred_element_type=jnp.float32, precision=_PREC)
+        im = jnp.matmul(frames, jnp.asarray(s), preferred_element_type=jnp.float32, precision=_PREC)
+        sq = re * re + im * im
+    else:
+        raise ValueError(f"Unknown STFT method: {method!r}")
+    if power == 2.0:
+        return sq
+    if power == 1.0:
+        return jnp.sqrt(sq)
+    return jnp.power(sq, power / 2.0)
+
+
+def mel_spectrogram(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, S) → (B, frames, n_mels) power mel spectrogram.
+
+    Reference: src/preprocessing.py:94-106. Note the time-major layout —
+    frequency is the contraction axis of the GEMM; callers transpose to the
+    reference's (n_mels, time) only at the stacked output.
+    """
+    spec = power_spectrogram(waveform, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    fb = jnp.asarray(
+        filters.mel_filterbank(
+            cfg.n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate, cfg.f_min, cfg.f_max
+        )
+    )
+    return jnp.matmul(spec, fb, preferred_element_type=jnp.float32, precision=_PREC)
+
+
+_AMIN = 1e-10
+_LOG10 = float(np.log(10.0))
+
+
+def power_to_db(x: jnp.ndarray, top_db: Optional[float] = None) -> jnp.ndarray:
+    """10*log10(max(x, 1e-10)), optionally clamped to per-clip max - top_db.
+
+    torchaudio AmplitudeToDB(stype="power") semantics with ref=1.0
+    (reference: src/preprocessing.py:109-112). The top_db clamp uses the
+    per-clip maximum, vectorized across the batch (leading) axis.
+    """
+    db = 10.0 / _LOG10 * jnp.log(jnp.maximum(x, _AMIN))
+    if top_db is not None:
+        axes = tuple(range(1, x.ndim))
+        clip_max = jnp.max(db, axis=axes, keepdims=True)
+        db = jnp.maximum(db, clip_max - top_db)
+    return db
+
+
+def log_mel_norm(mel: jnp.ndarray, top_db: float = 80.0) -> jnp.ndarray:
+    """dB + (db+80)/80 with [0,1] clamp (reference: src/preprocessing.py:405-410)."""
+    db = power_to_db(mel, top_db=top_db)
+    return jnp.clip((db + top_db) / top_db, 0.0, 1.0)
+
+
+def pcen(
+    mel: jnp.ndarray,
+    alpha: float = 0.98,
+    delta: float = 2.0,
+    r: float = 0.5,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Per-channel energy normalization, then per-clip min-max to [0, 1].
+
+    Mirrors the reference's moving-average smoother: avg_pool(1×10), stride 1,
+    pad 5 with zeros counted in the denominator, trimmed to the input length
+    (reference: src/preprocessing.py:305-340,400-404). `mel` is (B, T, n_mels).
+    """
+    t = mel.shape[1]
+    padded = jnp.pad(mel, [(0, 0), (5, 5), (0, 0)])
+    # Moving sum over 10 frames via cumulative sum: O(T) and fusion-friendly.
+    cs = jnp.cumsum(padded, axis=1)
+    cs = jnp.pad(cs, [(0, 0), (1, 0), (0, 0)])
+    smooth = (cs[:, 10:, :] - cs[:, :-10, :]) / 10.0
+    smooth = smooth[:, :t, :]
+    out = jnp.power(mel / jnp.power(eps + smooth, alpha) + delta, r) - delta**r
+    lo = jnp.min(out, axis=(1, 2), keepdims=True)
+    hi = jnp.max(out, axis=(1, 2), keepdims=True)
+    return (out - lo) / (hi - lo + 1e-8)
+
+
+def mfcc(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, S) → (B, frames, n_mfcc), globally z-normalized per clip.
+
+    torchaudio T.MFCC(log_mels=False): dB (no top_db) of the power mel, then
+    orthonormal DCT-II; followed by the reference's per-clip
+    (x - mean) / (std + 1e-8) with unbiased std
+    (reference: src/preprocessing.py:115-127,414-430).
+    """
+    mel = mel_spectrogram(waveform, cfg)
+    log_mel = power_to_db(mel, top_db=None)
+    dct = jnp.asarray(filters.dct_matrix(cfg.n_mfcc, cfg.n_mels))
+    out = jnp.matmul(log_mel, dct, preferred_element_type=jnp.float32, precision=_PREC)
+    mean = jnp.mean(out, axis=(1, 2), keepdims=True)
+    n = out.shape[1] * out.shape[2]
+    var = jnp.sum((out - mean) ** 2, axis=(1, 2), keepdims=True) / (n - 1)
+    return (out - mean) / (jnp.sqrt(var) + 1e-8)
+
+
+def compute_deltas(features: jnp.ndarray) -> jnp.ndarray:
+    """Replicate-pad central difference over the time axis (axis 1).
+
+    (x[t+1] - x[t-1]) / 2 (reference: src/preprocessing.py:342-356).
+    `features` is (B, T, F).
+    """
+    padded = jnp.pad(features, [(0, 0), (1, 1), (0, 0)], mode="edge")
+    return (padded[:, 2:, :] - padded[:, :-2, :]) / 2.0
+
+
+def spectral_contrast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, S) → (B, T, n_bands+1): per-band peak-valley contrast + centroid.
+
+    Ports the reference's hand-rolled contrast
+    (reference: src/preprocessing.py:242-303): 6 log-spaced bands of the
+    power spectrogram, mean(top 20% sorted bins) − mean(bottom 20%) in log1p,
+    plus a Nyquist-normalized spectral centroid row, all z-normalized per clip
+    with unbiased std. Band edges are static, so band slices/sorts compile to
+    fixed-shape ops.
+    """
+    n_freqs = cfg.n_fft // 2 + 1
+    spec = power_spectrogram(waveform, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    t = spec.shape[1]
+    n_bands = cfg.n_contrast_bands
+
+    # torch.logspace(0, log10(n_freqs), n_bands+2).int() — trunc toward zero.
+    edges = np.logspace(0.0, np.log10(n_freqs), n_bands + 2)
+    edges = np.clip(edges.astype(np.int64), 0, n_freqs)
+
+    rows = []
+    for i in range(n_bands):
+        low = int(edges[i])
+        high = int(edges[i + 1])
+        if high <= low:
+            high = low + 1
+        high = min(high, n_freqs)
+        band = spec[:, :, low:high]
+        n_bins = band.shape[2]
+        # Deliberate divergence from the reference: its top_idx=max(1, ...)
+        # yields an *empty* peak slice for the first (single-bin) band, so
+        # torch's mean() returns NaN and the z-norm poisons the whole feature
+        # map whenever spectral contrast is enabled
+        # (reference: src/preprocessing.py:286-289 — latent bug, the shipped
+        # config has contrast OFF). Clamping to n_bins-1 makes a single-bin
+        # band contribute zero contrast instead.
+        top_idx = min(max(1, int(n_bins * 0.8)), n_bins - 1) if n_bins > 1 else 0
+        bot_idx = max(1, int(n_bins * 0.2))
+        sb = jnp.sort(band, axis=2)
+        peaks = jnp.mean(sb[:, :, top_idx:], axis=2)
+        valleys = jnp.mean(sb[:, :, :bot_idx], axis=2)
+        rows.append(jnp.log1p(peaks) - jnp.log1p(valleys))
+
+    # Spectral centroid over a full-n_fft-window magnitude spectrogram —
+    # torchaudio SpectralCentroid defaults win_length=n_fft, power=1
+    # (reference: src/preprocessing.py:137-141).
+    mag = power_spectrogram(
+        waveform, cfg.n_fft, cfg.hop_length, cfg.n_fft, power=1.0
+    )
+    freqs = jnp.asarray(
+        np.linspace(0, cfg.sample_rate // 2, n_freqs, dtype=np.float32)
+    )
+    centroid = jnp.sum(mag * freqs, axis=2) / jnp.sum(mag, axis=2)
+    rows.append(centroid / (cfg.sample_rate / 2.0))
+
+    contrast = jnp.stack(rows, axis=2)[:, :t, :]  # (B, T, n_bands+1)
+    mean = jnp.mean(contrast, axis=(1, 2), keepdims=True)
+    n = contrast.shape[1] * contrast.shape[2]
+    var = jnp.sum((contrast - mean) ** 2, axis=(1, 2), keepdims=True) / (n - 1)
+    return (contrast - mean) / (jnp.sqrt(var) + 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Full stacked front end
+# ---------------------------------------------------------------------------
+
+
+def extract_features(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """(B, segment_samples) → (B, num_features, num_frames) feature image.
+
+    The reference's extract_features (src/preprocessing.py:432-489): mel (+dB
+    or PCEN) from the (optionally pre-emphasized) signal, MFCC (+deltas,
+    +delta-deltas) likewise, spectral contrast from the original signal, all
+    stacked along the frequency axis. Shipped config yields (B, 90, 101).
+    """
+    emph = (
+        pre_emphasis(waveform, cfg.pre_emphasis_coef)
+        if cfg.use_pre_emphasis
+        else waveform
+    )
+
+    mel = mel_spectrogram(emph, cfg)  # (B, T, n_mels)
+    mel = pcen(mel) if cfg.use_pcen else log_mel_norm(mel)
+    parts = [mel]
+
+    if cfg.use_mfcc:
+        mf = mfcc(emph, cfg)
+        d1 = compute_deltas(mf)
+        parts += [mf, d1]
+        if cfg.use_delta_delta:
+            parts.append(compute_deltas(d1))
+
+    if cfg.use_spectral_contrast:
+        parts.append(spectral_contrast(waveform, cfg))
+
+    stacked = jnp.concatenate(parts, axis=2)  # (B, T, num_features)
+    return jnp.transpose(stacked, (0, 2, 1))  # (B, num_features, T)
+
+
+def process(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+    """normalize → center pad/trim → extract_features, batched.
+
+    The device-side tail of the reference's full pipeline
+    (src/preprocessing.py:491-517); resampling and mono conversion happen
+    upstream (ops.resample / to_mono) because they change shapes.
+    """
+    waveform = peak_normalize(waveform)
+    waveform = pad_or_trim(waveform, cfg.segment_samples)
+    return extract_features(waveform, cfg)
+
+
+@functools.lru_cache(maxsize=8)
+def make_feature_fn(cfg: FeatureConfig, donate: bool = False):
+    """A jitted (B, segment_samples) → (B, H, T) feature extractor."""
+    fn = functools.partial(extract_features, cfg=cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+@functools.lru_cache(maxsize=8)
+def make_process_fn(cfg: FeatureConfig):
+    """A jitted normalize→pad/trim→features pipeline for raw 16 kHz batches."""
+    return jax.jit(functools.partial(process, cfg=cfg))
