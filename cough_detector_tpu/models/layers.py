@@ -1,0 +1,201 @@
+"""Shared Flax building blocks for the classifier family.
+
+Layout is NHWC — the TPU-native convolution layout — with the feature image
+entering as (B, n_features, time, 1); the reference's NCHW tensors
+(reference: src/model.py:105-125) map onto this with channels last.
+
+`BatchNorm` here reproduces *torch* BatchNorm2d semantics exactly rather than
+flax.linen.BatchNorm's: torch updates the running variance with the unbiased
+batch variance while normalizing with the biased one, and uses
+momentum 0.1 / eps 1e-5. This is the main train-time fidelity trap flagged in
+SURVEY.md §7 (hard part b).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def mxu_precision(dtype) -> jax.lax.Precision:
+    """Matmul precision for a compute dtype.
+
+    float32 parity runs need full-fp32 MXU passes — the default bf16 passes
+    cost ~3.6e-3 relative logits error on TPU, over the ≤1e-3 budget
+    (measured on v5e). bfloat16 serving uses the native fast path.
+    """
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch semantics (momentum=0.1, eps=1e-5,
+    unbiased running-var update, biased normalization)."""
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = 1
+            for ax in reduce_axes:
+                n *= x.shape[ax]
+            mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=reduce_axes
+            ) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (
+                    (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        out = (x.astype(jnp.float32) - mean) * inv + bias
+        return out.astype(self.dtype)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 → BN → ReLU → MaxPool(2) → channel Dropout(0.1).
+
+    Reference: src/model.py:11-40.
+    """
+
+    features: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            precision=mxu_precision(self.dtype),
+            name="conv",
+        )(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # Dropout2d: whole-channel dropout, broadcast over the spatial dims.
+        x = nn.Dropout(
+            self.dropout, broadcast_dims=(1, 2), deterministic=not train
+        )(x)
+        return x
+
+
+class SeparableBlock(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 → BN → ReLU → optional MaxPool.
+
+    The depthwise-separable unit of the lightweight model
+    (reference: src/model.py:168-187).
+    """
+
+    features: int
+    pool: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            in_ch,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            feature_group_count=in_ch,
+            dtype=self.dtype,
+            precision=mxu_precision(self.dtype),
+            name="dw",
+        )(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, precision=mxu_precision(self.dtype), name="pw")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        x = nn.relu(x)
+        if self.pool:
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3(s) + BN + ReLU → conv3x3 + BN; 1x1(s) + BN projection skip
+    when shape changes; add; ReLU.
+
+    Reference: src/model.py:268-293.
+    """
+
+    features: int
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        needs_proj = in_ch != self.features or self.stride != 1
+
+        if needs_proj:
+            identity = nn.Conv(
+                self.features,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                dtype=self.dtype,
+                precision=mxu_precision(self.dtype),
+                name="skip_conv",
+            )(x)
+            identity = BatchNorm(dtype=self.dtype, name="skip_bn")(
+                identity, train
+            )
+        else:
+            identity = x
+
+        out = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            precision=mxu_precision(self.dtype),
+            name="conv1",
+        )(x)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features,
+            (3, 3),
+            padding=[(1, 1), (1, 1)],
+            dtype=self.dtype,
+            precision=mxu_precision(self.dtype),
+            name="conv2",
+        )(out)
+        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        return nn.relu(out + identity)
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d((1,1)) + flatten: (B, H, W, C) → (B, C)."""
+    return jnp.mean(x, axis=(1, 2))
