@@ -1,0 +1,19 @@
+"""Mesh/sharding utilities: DP training + stream-parallel serving."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,63 @@
+"""Device mesh + sharding layer.
+
+The reference has no multi-device story at all (SURVEY.md §2.9: no
+torch.distributed, single device). Here parallelism is expressed the JAX
+way: a named mesh, NamedSharding annotations on the data axes, and jit —
+XLA inserts the gradient psum (DP) and any gathers over ICI. The same code
+path runs on 1 real chip, N chips, or the virtual 8-device CPU mesh used in
+tests.
+
+Axes:
+  "data"   — batch data parallelism for training and offline featurization.
+  "stream" — concurrent-audio-stream parallelism for serving (alias of the
+             same physical axis: streams are the serving batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
+) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch/stream) axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch with its leading axis split across the mesh."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh):
+    """Device-put a pytree fully replicated across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
+    """Pad the batch axis up to a device-count multiple (static shapes for
+    jit); returns (padded, original_len)."""
+    n = arr.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, rem)
+    return np.pad(arr, widths), n

@@ -1,0 +1,185 @@
+"""Jitted train/eval steps.
+
+The reference's per-batch torch loop — forward, class-weighted CE, backward,
+clip_grad_norm_(1.0), AdamW step (reference: src/train.py:54-111,441-448) —
+becomes two pure jitted functions over an explicit TrainState. Gradient
+clipping and AdamW live in the optax chain; BN running stats thread through
+as state. Under a multi-device mesh the same step functions run unchanged:
+batch sharding is annotated at the call site (parallel.sharding) and XLA
+inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import TrainConfig
+from .schedule import make_epoch_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    """Carries everything one training step consumes and produces."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def weighted_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """torch CrossEntropyLoss(weight=w) semantics:
+    sum_i w[y_i] * nll_i / sum_i w[y_i] (reference: src/train.py:441)."""
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    if class_weights is None:
+        return jnp.mean(nll)
+    w = class_weights[labels]
+    return jnp.sum(w * nll) / jnp.sum(w)
+
+
+def compute_class_weights(
+    counts: Dict[int, int], max_ratio: float = 20.0
+) -> Tuple[float, float]:
+    """Inverse-frequency class weights with the reference's 20:1 ratio cap
+    (reference: src/train.py:421-439)."""
+    total = counts.get(0, 1) + counts.get(1, 1)
+    w0 = total / (2 * max(counts.get(0, 1), 1))
+    w1 = total / (2 * max(counts.get(1, 1), 1))
+    if w1 / w0 > max_ratio:
+        w1 = w0 * max_ratio
+    return w0, w1
+
+
+def make_optimizer(
+    cfg: TrainConfig, steps_per_epoch: int
+) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) → AdamW with the cosine-warm-restarts
+    epoch schedule (reference: src/train.py:93,444-456).
+
+    Weight decay applies to *all* params — torch AdamW semantics, which the
+    reference uses without parameter groups."""
+    schedule = make_epoch_schedule(
+        cfg.learning_rate,
+        steps_per_epoch,
+        t_0=cfg.sched_t0,
+        t_mult=cfg.sched_t_mult,
+        eta_min=cfg.sched_eta_min,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def create_train_state(
+    model,
+    variables: Dict[str, Any],
+    tx: optax.GradientTransformation,
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def train_step(
+    state: TrainState,
+    waves_or_feats: jnp.ndarray,
+    labels: jnp.ndarray,
+    rng: jax.Array,
+    class_weights: jnp.ndarray,
+    feature_fn: Optional[Callable] = None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step. If `feature_fn` is given, inputs are raw
+    waveforms featurized on-device inside the same jit program — the fused
+    replacement for the reference's CPU DataLoader feature extraction
+    (reference: src/dataset.py:121-173)."""
+    feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            feats,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        loss = weighted_cross_entropy(logits, labels, class_weights)
+        return loss, (logits, mutated["batch_stats"])
+
+    (loss, (logits, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    updates, new_opt_state = state.tx.update(
+        grads, state.opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+
+    metrics = {
+        "loss": loss,
+        "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
+        "count": jnp.asarray(labels.shape[0], jnp.int32),
+    }
+    return (
+        state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        ),
+        metrics,
+    )
+
+
+def eval_step(
+    state: TrainState,
+    waves_or_feats: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    feature_fn: Optional[Callable] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Loss + confusion counts for the cough class, entirely on device
+    (reference: src/train.py:114-180)."""
+    feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
+    logits = state.apply_fn(state.variables, feats, train=False)
+    loss = weighted_cross_entropy(logits, labels, class_weights)
+    preds = jnp.argmax(logits, -1)
+    return {
+        "loss": loss,
+        "correct": jnp.sum(preds == labels),
+        "count": jnp.asarray(labels.shape[0], jnp.int32),
+        "tp": jnp.sum((preds == 1) & (labels == 1)),
+        "fp": jnp.sum((preds == 1) & (labels == 0)),
+        "fn": jnp.sum((preds == 0) & (labels == 1)),
+        "tn": jnp.sum((preds == 0) & (labels == 0)),
+    }
+
+
+def make_train_step(feature_fn: Optional[Callable] = None, donate: bool = True):
+    fn = functools.partial(train_step, feature_fn=feature_fn)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(feature_fn: Optional[Callable] = None):
+    return jax.jit(functools.partial(eval_step, feature_fn=feature_fn))
