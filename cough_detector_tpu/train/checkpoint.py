@@ -1,0 +1,158 @@
+"""Checkpointing: Orbax on-disk state + reference .pt interchange.
+
+Preserves the reference's load-bearing contract — *the checkpoint carries
+the feature config, and serving reconstructs the exact front end from it*
+(reference: src/train.py:183-199, src/inference.py:89-152). Layout:
+
+  <dir>/<name>/state/     Orbax pytree: params, batch_stats, opt_state, step
+  <dir>/<name>/meta.json  {"epoch", "metrics", "config"}   (flat config dict)
+
+Dual-write best/latest mirrors the reference (src/train.py:494-508).
+`import_torch_checkpoint` ingests a real reference .pt (torch gated);
+`export_torch_checkpoint` writes one back so reference tooling can consume
+TPU-trained weights.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..models import convert as model_convert
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    state: Any,
+    epoch: int,
+    metrics: Dict[str, float],
+    config: Config,
+) -> str:
+    """Write one named checkpoint (e.g. "best_model", "latest_model")."""
+    base = Path(directory) / name
+    base.mkdir(parents=True, exist_ok=True)
+
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckptr = _checkpointer()
+    ckptr.save((base / "state").absolute(), tree, force=True)
+    ckptr.wait_until_finished()  # StandardCheckpointer commits asynchronously
+
+    meta = {
+        "epoch": int(epoch),
+        "metrics": {k: float(v) for k, v in metrics.items()},
+        "config": config.to_flat_dict(),
+    }
+    (base / "meta.json").write_text(json.dumps(meta, indent=2))
+    return str(base)
+
+
+def load_checkpoint(
+    path: str, state_template: Optional[Any] = None
+) -> Tuple[Dict[str, Any], int, Dict[str, float], Config]:
+    """Restore (tree, epoch, metrics, config). With a state template the
+    tree is restored with matching shardings/dtypes; otherwise raw."""
+    base = Path(path)
+    meta = json.loads((base / "meta.json").read_text())
+
+    ckptr = _checkpointer()
+    if state_template is not None:
+        template = {
+            "params": state_template.params,
+            "batch_stats": state_template.batch_stats,
+            "opt_state": state_template.opt_state,
+            "step": state_template.step,
+        }
+        tree = ckptr.restore((base / "state").absolute(), target=template)
+    else:
+        tree = ckptr.restore((base / "state").absolute())
+
+    return (
+        tree,
+        meta["epoch"],
+        meta["metrics"],
+        Config.from_flat_dict(meta["config"]),
+    )
+
+
+def restore_into_state(state: Any, tree: Dict[str, Any]) -> Any:
+    return state.replace(
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+        step=tree["step"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference .pt interchange
+# ---------------------------------------------------------------------------
+
+
+def import_torch_checkpoint(path: str):
+    """Read a reference checkpoint
+    ({epoch, model_state_dict, optimizer_state_dict, metrics, config},
+    reference: src/train.py:192-199) → (variables, config, epoch, metrics).
+    """
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "Importing .pt checkpoints requires torch on the host."
+        ) from e
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    flat = ckpt.get("config", {})
+    config = Config.from_flat_dict(flat)
+    variables = model_convert.torch_state_dict_to_variables(
+        ckpt["model_state_dict"], config.model.model_type
+    )
+    return variables, config, ckpt.get("epoch", 0), ckpt.get("metrics", {})
+
+
+def export_torch_checkpoint(
+    path: str,
+    variables: Dict[str, Any],
+    config: Config,
+    epoch: int = 0,
+    metrics: Optional[Dict[str, float]] = None,
+) -> None:
+    """Write TPU-trained weights in the reference's .pt layout so
+    `run_detection.py --model` and friends can consume them."""
+    try:
+        import torch
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "Exporting .pt checkpoints requires torch on the host."
+        ) from e
+
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    sd = model_convert.variables_to_torch_state_dict(
+        host_vars, config.model.model_type
+    )
+    torch.save(
+        {
+            "epoch": int(epoch),
+            "model_state_dict": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+            "optimizer_state_dict": {},
+            "metrics": metrics or {},
+            "config": config.to_flat_dict(),
+        },
+        path,
+    )

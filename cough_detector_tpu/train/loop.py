@@ -1,0 +1,222 @@
+"""End-to-end training orchestration.
+
+Semantic rebuild of the reference train() (src/train.py:215-518): dataset
+assembly (custom dir split + optional ESC-50 fold-5 val), dynamic class
+weights capped 20:1, class-weighted CE, AdamW + cosine warm restarts +
+grad-clip(1.0), best-F1 + latest checkpointing, early stopping on val loss,
+resume — re-architected so the hot path is one jit program per step:
+
+  host BatchLoader (decode/resample/frame only)
+      → device: peak-normalize → augment → SpecAugment → features → fwd/bwd
+
+Observability (absent in the reference, SURVEY.md §5): per-epoch JSONL
+records with loss/acc/P/R/F1 and clips/sec throughput to <output>/metrics.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..augment import augment_waveforms, spec_augment
+from ..config import Config
+from ..data.datasets import (
+    BatchLoader,
+    ClipDataset,
+    CombinedDataset,
+    ESC50Dataset,
+    prepare_dataset_split,
+)
+from ..models import count_parameters, create_model, init_model
+from ..ops import frontend
+from . import checkpoint as ckpt
+from . import steps
+from .metrics import EarlyStopping, EpochAccumulator
+
+
+def _build_datasets(
+    data_dir: Optional[str],
+    use_esc50: bool,
+    esc50_dir: Optional[str],
+) -> Tuple[ClipDataset, ClipDataset]:
+    """Reference dataset assembly (src/train.py:332-392)."""
+    trains, vals = [], []
+    if data_dir and Path(data_dir).exists():
+        tr, va = prepare_dataset_split(data_dir, val_split=0.2)
+        trains.append(tr)
+        vals.append(va)
+        print(f"Custom dataset: train {len(tr)}, val {len(va)}")
+    if use_esc50 and esc50_dir and Path(esc50_dir).exists():
+        trains.append(
+            ESC50Dataset(esc50_dir, is_training=True, fold=5,
+                         include_all_negatives=True)
+        )
+        vals.append(
+            ESC50Dataset(esc50_dir, is_training=False, fold=5,
+                         include_all_negatives=True)
+        )
+        print(f"ESC-50: train {len(trains[-1])}, val {len(vals[-1])}")
+    if not trains:
+        raise ValueError(
+            "No training data found! Provide data_dir or an ESC-50 directory."
+        )
+    if len(trains) > 1:
+        return CombinedDataset(trains), CombinedDataset(vals)
+    return trains[0], vals[0]
+
+
+def train(
+    data_dir: Optional[str],
+    output_dir: str,
+    config: Config = None,
+    use_esc50: bool = False,
+    esc50_dir: Optional[str] = None,
+    resume: Optional[str] = None,
+    num_workers: int = 8,
+    noise_bank: Optional[np.ndarray] = None,
+    max_epochs: Optional[int] = None,
+) -> str:
+    """Train a model; returns the best-checkpoint path."""
+    config = config or Config()
+    fcfg, tcfg = config.features, config.train
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "config.json").write_text(config.to_json())
+
+    train_ds, val_ds = _build_datasets(data_dir, use_esc50, esc50_dir)
+    print(f"Total train {len(train_ds)}, val {len(val_ds)}")
+
+    train_loader = BatchLoader(
+        train_ds, tcfg.batch_size, fcfg, weighted=True, drop_last=True,
+        num_workers=num_workers, seed=tcfg.seed,
+    )
+    val_loader = BatchLoader(
+        val_ds, tcfg.batch_size, fcfg, num_workers=num_workers,
+    )
+
+    w0, w1 = steps.compute_class_weights(
+        train_ds.class_counts, tcfg.max_class_weight_ratio
+    )
+    class_weights = jnp.asarray([w0, w1], jnp.float32)
+    print(f"Class weights: non-cough={w0:.2f}, cough={w1:.2f}")
+
+    model = create_model(config.model.model_type)
+    variables = init_model(model, jax.random.PRNGKey(tcfg.seed), fcfg.feature_shape)
+    print(
+        f"Model: {config.model.model_type} "
+        f"({count_parameters(variables['params']):,} params)"
+    )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = steps.make_optimizer(tcfg, steps_per_epoch)
+    state = steps.create_train_state(model, variables, tx)
+
+    # Device-side: normalize → waveform augment → features → SpecAugment.
+    def train_features(args):
+        waves, key = args
+        waves = frontend.peak_normalize(waves)
+        k1, k2 = jax.random.split(key)
+        waves = augment_waveforms(
+            waves, k1, p=tcfg.p_augment,
+            noise_bank=None if noise_bank is None else jnp.asarray(noise_bank),
+        )
+        feats = frontend.extract_features(waves, fcfg)
+        return spec_augment(
+            feats, k2,
+            freq_mask_param=tcfg.freq_mask_param,
+            time_mask_param=tcfg.time_mask_param,
+            n_freq_masks=tcfg.n_freq_masks,
+            n_time_masks=tcfg.n_time_masks,
+            p=tcfg.p_augment,
+        )
+
+    def eval_features(waves):
+        return frontend.extract_features(frontend.peak_normalize(waves), fcfg)
+
+    train_step = steps.make_train_step(feature_fn=train_features)
+    eval_step = steps.make_eval_step(feature_fn=eval_features)
+
+    early = EarlyStopping(tcfg.patience, tcfg.early_stop_min_delta)
+    start_epoch, best_f1 = 0, 0.0
+    if resume and Path(resume).exists():
+        tree, epoch, metrics, _ = ckpt.load_checkpoint(resume, state)
+        state = ckpt.restore_into_state(state, tree)
+        best_f1 = metrics.get("f1", 0.0)
+        start_epoch = epoch + 1
+        print(f"Resumed from {resume} at epoch {start_epoch}")
+
+    rng = jax.random.PRNGKey(tcfg.seed + 1)
+    metrics_log = (out / "metrics.jsonl").open("a")
+    epochs = max_epochs if max_epochs is not None else tcfg.epochs
+    best_path = str(out / "best_model")
+
+    for epoch in range(start_epoch, epochs):
+        # ---- train ----
+        t0 = time.perf_counter()
+        acc = EpochAccumulator()
+        for waves, labels in train_loader:
+            rng, step_key = jax.random.split(rng)
+            state, m = train_step(
+                state, (jnp.asarray(waves), step_key), jnp.asarray(labels),
+                step_key, class_weights,
+            )
+            acc.update(m)
+        train_m = acc.summary()
+        train_time = time.perf_counter() - t0
+
+        # ---- validate ----
+        t0 = time.perf_counter()
+        vacc = EpochAccumulator()
+        for waves, labels in val_loader:
+            vacc.update(
+                eval_step(state, jnp.asarray(waves), jnp.asarray(labels),
+                          class_weights)
+            )
+        val_m = vacc.summary()
+        val_time = time.perf_counter() - t0
+
+        record = {
+            "epoch": epoch,
+            "train_loss": train_m["loss"],
+            "train_acc": train_m["accuracy"],
+            "val_loss": val_m["loss"],
+            "val_acc": val_m["accuracy"],
+            "precision": val_m["precision"],
+            "recall": val_m["recall"],
+            "f1": val_m["f1"],
+            "tp": val_m["tp"], "fp": val_m["fp"],
+            "fn": val_m["fn"], "tn": val_m["tn"],
+            "train_clips_per_sec": acc.count / max(train_time, 1e-9),
+            "val_clips_per_sec": vacc.count / max(val_time, 1e-9),
+        }
+        metrics_log.write(json.dumps(record) + "\n")
+        metrics_log.flush()
+        print(
+            f"Epoch {epoch}: train loss {train_m['loss']:.4f} "
+            f"acc {train_m['accuracy']:.2f}% | val loss {val_m['loss']:.4f} "
+            f"acc {val_m['accuracy']:.2f}% P {val_m['precision']:.4f} "
+            f"R {val_m['recall']:.4f} F1 {val_m['f1']:.4f} | "
+            f"{record['train_clips_per_sec']:,.0f} clips/s"
+        )
+
+        if val_m["f1"] > best_f1:
+            best_f1 = val_m["f1"]
+            ckpt.save_checkpoint(output_dir, "best_model", state, epoch,
+                                 val_m, config)
+            print(f"  Saved best model (F1: {best_f1:.4f})")
+        ckpt.save_checkpoint(output_dir, "latest_model", state, epoch,
+                             val_m, config)
+
+        if early(val_m["loss"]):
+            print(f"Early stopping at epoch {epoch}")
+            break
+
+    metrics_log.close()
+    print(f"Training complete! Best F1: {best_f1:.4f}")
+    return best_path

@@ -1,0 +1,195 @@
+"""Data layer tests: WAV round-trip, host resample parity, dataset scan,
+weights, splits, loader semantics."""
+
+import numpy as np
+import pytest
+import torch
+
+import golden_ref as gold
+from cough_detector_tpu.config import FeatureConfig
+from cough_detector_tpu.data import audio_io, synth
+from cough_detector_tpu.data.datasets import (
+    BatchLoader,
+    CombinedDataset,
+    CoughDataset,
+    ESC50Dataset,
+    prepare_dataset_split,
+)
+
+
+class TestWav:
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_round_trip_16bit(self, tmp_path, channels):
+        rng = np.random.default_rng(0)
+        wave = rng.uniform(-0.9, 0.9, (channels, 4000)).astype(np.float32)
+        p = tmp_path / "x.wav"
+        audio_io.write_wav(p, wave, 22050)
+        back, sr = audio_io.read_wav(p)
+        assert sr == 22050 and back.shape == wave.shape
+        # Half-LSB rounding + the 32767-write/32768-read scale convention.
+        np.testing.assert_allclose(back, wave, atol=2.0 / 32768)
+
+    def test_float32_wav(self, tmp_path):
+        # Hand-build an IEEE-float WAV and read it back.
+        import struct
+
+        wave = np.linspace(-1, 1, 1000).astype(np.float32)
+        pcm = wave.tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32)
+        hdr += b"data" + struct.pack("<I", len(pcm))
+        p = tmp_path / "f.wav"
+        p.write_bytes(hdr + pcm)
+        back, sr = audio_io.read_wav(p)
+        np.testing.assert_allclose(back[0], wave, atol=1e-7)
+
+    def test_not_a_wav_fails_loudly(self, tmp_path):
+        p = tmp_path / "bad.wav"
+        p.write_bytes(b"garbage data here")
+        with pytest.raises(audio_io.AudioDecodeError):
+            audio_io.read_wav(p)
+
+    def test_compressed_without_ffmpeg_fails_loudly(self, tmp_path):
+        p = tmp_path / "x.webm"
+        p.write_bytes(b"\x1a\x45\xdf\xa3")
+        if not audio_io.ffmpeg_available():
+            with pytest.raises(audio_io.AudioDecodeError, match="ffmpeg"):
+                audio_io.decode_audio(p)
+
+
+class TestHostResample:
+    @pytest.mark.parametrize("orig_sr", [22050, 44100, 48000])
+    def test_matches_golden(self, orig_sr):
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((1, orig_sr // 2)).astype(np.float32)
+        ours = audio_io.resample_np(w, orig_sr, 16000)[0]
+        theirs = gold.resample(torch.from_numpy(w[0]), orig_sr, 16000).numpy()
+        assert ours.shape == theirs.shape
+        err = np.abs(ours - theirs).max() / max(np.abs(theirs).max(), 1e-8)
+        assert err < 1e-3
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    for label, n in [("cough", 6), ("non_cough", 18)]:
+        d = tmp_path / label
+        d.mkdir()
+        for i in range(n):
+            gen = synth.synthetic_cough if label == "cough" else synth.synthetic_non_cough
+            audio_io.write_wav(d / f"{i}.wav", gen(seed=i, duration_s=0.5), 16000)
+    (tmp_path / "cough" / "notes.txt").write_text("ignored")
+    return str(tmp_path)
+
+
+class TestCoughDataset:
+    def test_scan_and_labels(self, data_dir):
+        ds = CoughDataset(data_dir)
+        assert len(ds) == 24
+        assert ds.class_counts == {0: 18, 1: 6}
+        labels = {label for _, label in ds.samples}
+        assert labels == {0, 1}
+
+    def test_sample_weights_inverse_frequency(self, data_dir):
+        ds = CoughDataset(data_dir)
+        # total/(n_classes*count): cough 24/(2*6)=2, non_cough 24/(2*18)=2/3
+        w = {label: None for _, label in ds.samples}
+        for (path, label), weight in zip(ds.samples, ds.sample_weights):
+            w[label] = weight
+        assert w[1] == pytest.approx(2.0)
+        assert w[0] == pytest.approx(24 / 36)
+
+    def test_missing_class_dir_warns_not_crashes(self, tmp_path, capsys):
+        (tmp_path / "cough").mkdir()
+        ds = CoughDataset(str(tmp_path))
+        assert "Warning" in capsys.readouterr().out
+        assert len(ds) == 0
+
+
+class TestSplit:
+    def test_stratified_split(self, data_dir):
+        tr, va = prepare_dataset_split(data_dir, val_split=0.25)
+        assert len(tr) == 18 and len(va) == 6
+        # Stratification keeps the 1:3 ratio in both splits.
+        assert sum(l for _, l in va.samples) == pytest.approx(len(va) / 4, abs=1)
+        # Deterministic (seed 42).
+        tr2, va2 = prepare_dataset_split(data_dir, val_split=0.25)
+        assert tr.samples == tr2.samples
+
+
+class TestESC50:
+    @pytest.fixture()
+    def esc50_dir(self, tmp_path):
+        import pandas as pd
+
+        audio = tmp_path / "audio"
+        meta = tmp_path / "meta"
+        audio.mkdir(); meta.mkdir()
+        rows = []
+        # 2 coughs (target 24), 2 curated negatives, 2 other-class clips
+        specs = [(24, 1), (24, 2), (22, 3), (38, 4), (0, 5), (10, 1)]
+        for i, (target, fold) in enumerate(specs):
+            name = f"clip_{i}.wav"
+            audio_io.write_wav(
+                audio / name, synth.synthetic_non_cough(i, 0.3), 16000
+            )
+            rows.append({"filename": name, "fold": fold, "target": target})
+        pd.DataFrame(rows).to_csv(meta / "esc50.csv", index=False)
+        return str(tmp_path)
+
+    def test_all_negatives(self, esc50_dir):
+        ds = ESC50Dataset(esc50_dir, include_all_negatives=True)
+        assert len(ds) == 6
+        assert ds.class_counts == {0: 4, 1: 2}
+
+    def test_curated_negatives(self, esc50_dir):
+        ds = ESC50Dataset(esc50_dir, include_all_negatives=False)
+        assert ds.class_counts == {0: 2, 1: 2}
+
+    def test_fold_split(self, esc50_dir):
+        tr = ESC50Dataset(esc50_dir, is_training=True, fold=1)
+        va = ESC50Dataset(esc50_dir, is_training=False, fold=1)
+        assert len(tr) + len(va) == 6
+        assert len(va) == 2  # fold-1 rows
+
+    def test_missing_meta_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ESC50Dataset(str(tmp_path))
+
+
+class TestBatchLoader:
+    def test_shapes_and_weighted_balance(self, data_dir):
+        ds = CoughDataset(data_dir)
+        loader = BatchLoader(
+            ds, batch_size=8, feature_config=FeatureConfig(),
+            weighted=True, drop_last=True, num_workers=2, seed=0,
+        )
+        assert len(loader) == 3
+        labels_all = []
+        for waves, labels in loader:
+            assert waves.shape == (8, 16000) and waves.dtype == np.float32
+            labels_all.extend(labels.tolist())
+        # Weighted with replacement: coughs should be ~50%, not 25%.
+        frac = np.mean(np.asarray(labels_all) == 1)
+        assert 0.25 < frac < 0.8
+
+    def test_sequential_eval_loader(self, data_dir):
+        ds = CoughDataset(data_dir)
+        loader = BatchLoader(ds, batch_size=10, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == 3  # 24 -> 10+10+4, no drop_last
+        assert batches[-1][0].shape[0] == 4
+
+    def test_decode_error_propagates(self, tmp_path):
+        d = tmp_path / "cough"; d.mkdir()
+        (tmp_path / "non_cough").mkdir()
+        (d / "broken.wav").write_bytes(b"not a wav at all")
+        ds = CoughDataset(str(tmp_path))
+        loader = BatchLoader(ds, batch_size=1, num_workers=1)
+        with pytest.raises(audio_io.AudioDecodeError):
+            list(loader)
+
+    def test_combined_dataset(self, data_dir):
+        a, b = CoughDataset(data_dir), CoughDataset(data_dir)
+        combo = CombinedDataset([a, b])
+        assert len(combo) == 48
+        assert combo.class_counts == {0: 36, 1: 12}

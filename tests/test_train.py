@@ -1,0 +1,241 @@
+"""Training subsystem tests: schedule parity vs torch, CE-loss parity,
+class weights, early stopping, one-step optimization, checkpoint round-trip,
+and a tiny end-to-end train() run on synthetic data."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from cough_detector_tpu.config import Config, FeatureConfig, TrainConfig
+from cough_detector_tpu.data import synth
+from cough_detector_tpu.data.audio_io import write_wav
+from cough_detector_tpu.models import create_model, init_model
+from cough_detector_tpu.train import (
+    EarlyStopping,
+    checkpoint as ckpt,
+    compute_class_weights,
+    cosine_warm_restarts_lr,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    weighted_cross_entropy,
+)
+
+
+class TestSchedule:
+    def test_matches_torch_warm_restarts(self):
+        m = torch.nn.Linear(2, 2)
+        opt = torch.optim.AdamW(m.parameters(), lr=5e-4)
+        sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=10, T_mult=2, eta_min=1e-6
+        )
+        for epoch in range(150):
+            want = opt.param_groups[0]["lr"]
+            got = cosine_warm_restarts_lr(epoch, 5e-4)
+            assert abs(got - want) < 1e-10, f"epoch {epoch}: {got} vs {want}"
+            sched.step()
+
+
+class TestLoss:
+    def test_weighted_ce_matches_torch(self):
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((16, 2)).astype(np.float32)
+        labels = rng.integers(0, 2, 16).astype(np.int64)
+        w = np.asarray([0.6, 3.1], np.float32)
+
+        want = torch.nn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+            torch.from_numpy(logits), torch.from_numpy(labels)
+        ).item()
+        got = float(
+            weighted_cross_entropy(
+                jnp.asarray(logits), jnp.asarray(labels.astype(np.int32)),
+                jnp.asarray(w),
+            )
+        )
+        assert abs(got - want) < 1e-6
+
+    def test_unweighted(self):
+        logits = jnp.asarray([[10.0, -10.0]])
+        labels = jnp.asarray([0])
+        assert float(weighted_cross_entropy(logits, labels)) < 1e-6
+
+
+class TestClassWeights:
+    def test_balanced(self):
+        w0, w1 = compute_class_weights({0: 100, 1: 100})
+        assert w0 == w1 == 1.0
+
+    def test_ratio_cap(self):
+        w0, w1 = compute_class_weights({0: 10000, 1: 10})
+        assert w1 / w0 == pytest.approx(20.0)
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        es = EarlyStopping(patience=3, min_delta=0.001)
+        assert not es(1.0)
+        assert not es(1.0)  # no improvement 1
+        assert not es(0.9995)  # within min_delta: counts 2
+        assert es(1.2)  # 3 -> stop
+
+    def test_reset_on_improvement(self):
+        es = EarlyStopping(patience=2)
+        es(1.0); es(1.0)
+        assert not es(0.5)
+        assert not es(0.6)
+        assert es(0.7)
+
+
+def _tiny_setup(batch=8):
+    cfg = Config(train=TrainConfig(batch_size=batch))
+    model = create_model("small")
+    variables = init_model(model, jax.random.PRNGKey(0), cfg.features.feature_shape)
+    tx = make_optimizer(cfg.train, steps_per_epoch=2)
+    state = create_train_state(model, variables, tx)
+    waves = jnp.asarray(synth.fixture_batch(batch, 1.0, seed=0))
+    labels = jnp.asarray(np.arange(batch) % 2, jnp.int32)
+    cw = jnp.asarray([1.0, 1.0])
+    return cfg, state, waves, labels, cw
+
+
+class TestSteps:
+    def test_train_step_reduces_loss(self):
+        from cough_detector_tpu.ops import frontend
+
+        cfg, state, waves, labels, cw = _tiny_setup()
+        feats = frontend.extract_features(waves, cfg.features)
+        step = make_train_step(donate=False)
+        losses = []
+        for i in range(12):
+            state, m = step(state, feats, labels, jax.random.PRNGKey(i), cw)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 12
+
+    def test_eval_step_confusion_counts(self):
+        from cough_detector_tpu.ops import frontend
+
+        cfg, state, waves, labels, cw = _tiny_setup()
+        feats = frontend.extract_features(waves, cfg.features)
+        ev = make_eval_step()
+        m = ev(state, feats, labels, cw)
+        total = int(m["tp"]) + int(m["fp"]) + int(m["fn"]) + int(m["tn"])
+        assert total == 8
+        assert int(m["correct"]) == int(m["tp"]) + int(m["tn"])
+
+    def test_on_device_featurization_path(self):
+        cfg, state, waves, labels, cw = _tiny_setup()
+        from cough_detector_tpu.ops import frontend
+
+        step = make_train_step(
+            feature_fn=lambda w: frontend.extract_features(w, cfg.features),
+            donate=False,
+        )
+        state2, m = step(state, waves, labels, jax.random.PRNGKey(0), cw)
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        cfg, state, waves, labels, cw = _tiny_setup()
+        path = ckpt.save_checkpoint(
+            str(tmp_path), "best_model", state, epoch=3,
+            metrics={"f1": 0.5, "loss": 1.0}, config=cfg,
+        )
+        tree, epoch, metrics, cfg2 = ckpt.load_checkpoint(path, state)
+        assert epoch == 3 and metrics["f1"] == 0.5
+        assert cfg2.features == cfg.features
+        restored = ckpt.restore_into_state(state, tree)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.params),
+            jax.tree_util.tree_leaves(state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_interchange(self, tmp_path):
+        """TPU-trained weights → .pt → back: the serving interchange
+        (reference: src/train.py:183-212)."""
+        cfg, state, *_ = _tiny_setup()
+        cfg = Config.from_flat_dict({**cfg.to_flat_dict(), "model_type": "small"})
+        pt = tmp_path / "model.pt"
+        ckpt.export_torch_checkpoint(
+            str(pt), state.variables, cfg, epoch=7, metrics={"f1": 0.9}
+        )
+        variables, cfg2, epoch, metrics = ckpt.import_torch_checkpoint(str(pt))
+        assert epoch == 7 and metrics["f1"] == 0.9
+        assert cfg2.model.model_type == "small"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables["params"]),
+            jax.tree_util.tree_leaves(jax.tree_util.tree_map(np.asarray, state.params)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-7)
+
+
+@pytest.fixture()
+def synthetic_data_dir(tmp_path):
+    """A tiny cough/non_cough directory of synthetic wavs at mixed rates."""
+    for label, gen, n in [
+        ("cough", synth.synthetic_cough, 12),
+        ("non_cough", synth.synthetic_non_cough, 12),
+    ]:
+        d = tmp_path / "data" / label
+        d.mkdir(parents=True)
+        for i in range(n):
+            sr = 16000 if i % 2 == 0 else 22050
+            wave = gen(seed=100 + i, duration_s=1.2, sample_rate=sr)
+            write_wav(d / f"{label}_{i:02d}.wav", wave, sr)
+    return str(tmp_path / "data")
+
+
+class TestEndToEnd:
+    def test_train_two_epochs(self, synthetic_data_dir, tmp_path):
+        from cough_detector_tpu.train import train
+
+        cfg = Config(train=TrainConfig(batch_size=4, epochs=2, patience=10))
+        cfg = Config(
+            features=cfg.features,
+            model=cfg.model.__class__(model_type="small"),
+            train=cfg.train,
+            stream=cfg.stream,
+        )
+        out = tmp_path / "run"
+        best = train(
+            synthetic_data_dir, str(out), config=cfg, num_workers=2,
+        )
+        assert (out / "config.json").exists()
+        assert (out / "metrics.jsonl").exists()
+        assert (out / "latest_model" / "meta.json").exists()
+        lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
+
+    def test_resume(self, synthetic_data_dir, tmp_path):
+        from cough_detector_tpu.train import train
+
+        cfg = Config(train=TrainConfig(batch_size=4, epochs=1, patience=10))
+        cfg = Config(
+            features=cfg.features,
+            model=cfg.model.__class__(model_type="small"),
+            train=cfg.train, stream=cfg.stream,
+        )
+        out = tmp_path / "run"
+        train(synthetic_data_dir, str(out), config=cfg, num_workers=2)
+        # Resume for one more epoch from latest.
+        cfg2 = Config(
+            features=cfg.features, model=cfg.model, stream=cfg.stream,
+            train=TrainConfig(batch_size=4, epochs=2, patience=10),
+        )
+        train(
+            synthetic_data_dir, str(out), config=cfg2, num_workers=2,
+            resume=str(out / "latest_model"),
+        )
+        lines = (out / "metrics.jsonl").read_text().strip().splitlines()
+        epochs = [json.loads(l)["epoch"] for l in lines]
+        assert epochs == [0, 1]
