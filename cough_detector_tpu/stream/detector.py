@@ -1,0 +1,229 @@
+"""Streaming cough detection engines.
+
+`StreamingDetector` is the TPU-native engine: S concurrent streams scored in
+one batched jit program per tick. `CoughDetectorInference` wraps it in the
+reference's single-stream serving API — same constructor knobs, same
+`predict` / `process_audio_chunk` / `reset` / `on_cough_detected` surface
+(reference: src/inference.py:39-247) — so reference callers port unchanged.
+
+Checkpoints: accepts either an Orbax directory produced by our trainer or a
+reference .pt file (converted on load), honouring the config-in-checkpoint
+contract (reference: src/inference.py:89-152).
+"""
+
+from __future__ import annotations
+
+import datetime
+from pathlib import Path
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, StreamConfig
+from ..models import create_model, init_model
+from ..ops import frontend
+from . import ring
+
+
+class Detection(NamedTuple):
+    stream: int
+    time_seconds: float
+    confidence: float
+
+
+def _load_any_checkpoint(model_path: str):
+    """(variables, config) from an Orbax dir or a reference .pt file."""
+    p = Path(model_path)
+    if p.is_dir():
+        from ..train import checkpoint as ckpt
+
+        tree, _, _, config = ckpt.load_checkpoint(str(p))
+        variables = {
+            "params": tree["params"],
+            "batch_stats": tree["batch_stats"],
+        }
+        return variables, config
+    from ..train.checkpoint import import_torch_checkpoint
+
+    variables, config, _, _ = import_torch_checkpoint(str(p))
+    return variables, config
+
+
+class StreamingDetector:
+    """Batched multi-stream sliding-window detector.
+
+    Feed lockstep chunks of shape (num_streams, chunk_size); receive
+    Detection events. The full tick (ring buffer + features + model +
+    smoothing + debounce) is one jit program.
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        *,
+        variables: Optional[dict] = None,
+        config: Optional[Config] = None,
+        num_streams: int = 1,
+        chunk_size: int = 1600,
+        confidence_threshold: float = 0.5,
+        smoothing_window: int = 3,
+        debounce_seconds: float = 0.5,
+        hop_duration: float = 0.25,
+    ):
+        if model_path is not None:
+            variables, config = _load_any_checkpoint(model_path)
+        elif variables is None or config is None:
+            raise ValueError("Provide model_path or (variables, config)")
+
+        self.config = config
+        self.stream_config = StreamConfig(
+            window_duration=config.features.segment_duration,
+            hop_duration=hop_duration,
+            confidence_threshold=confidence_threshold,
+            smoothing_window=smoothing_window,
+            debounce_seconds=debounce_seconds,
+            num_streams=num_streams,
+        )
+        self.num_streams = num_streams
+        self.chunk_size = chunk_size
+        self.window_samples = int(
+            config.features.sample_rate * self.stream_config.window_duration
+        )
+
+        model = create_model(config.model.model_type)
+        self._variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        fcfg = config.features
+
+        def score_fn(windows: jnp.ndarray) -> jnp.ndarray:
+            waves = frontend.peak_normalize(windows)
+            feats = frontend.extract_features(waves, fcfg)
+            logits = model.apply(self._variables, feats, train=False)
+            return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+        self._score_fn = score_fn
+        self._step = ring.make_stream_step(
+            score_fn, fcfg, self.stream_config, chunk_size
+        )
+        self._model = model
+        self.reset()
+
+    # -- engine ----------------------------------------------------------
+
+    def reset(self) -> None:
+        self._state = ring.init_state(
+            self.num_streams,
+            self.chunk_size,
+            self.window_samples,
+            self.stream_config.smoothing_window,
+        )
+        self._pending = np.zeros((self.num_streams, 0), np.float32)
+
+    def process_chunk(self, chunk: np.ndarray) -> List[Detection]:
+        """Feed (num_streams, n) or (n,) samples; n need not equal
+        chunk_size — data is re-chunked internally (host side)."""
+        if chunk.ndim == 1:
+            chunk = chunk[None, :]
+        if chunk.shape[0] != self.num_streams:
+            raise ValueError(
+                f"Expected {self.num_streams} streams, got {chunk.shape[0]}"
+            )
+        self._pending = np.concatenate(
+            [self._pending, chunk.astype(np.float32)], axis=1
+        )
+
+        detections: List[Detection] = []
+        while self._pending.shape[1] >= self.chunk_size:
+            tick = self._pending[:, : self.chunk_size]
+            self._pending = self._pending[:, self.chunk_size :]
+            self._state, events = self._step(self._state, jnp.asarray(tick))
+            fired = np.asarray(events["fired"])
+            valid = np.asarray(events["valid"])
+            smoothed = np.asarray(events["smoothed"])
+            times = np.asarray(events["timestamps"])
+            for k in np.nonzero(valid)[0]:
+                for s in np.nonzero(fired[:, k])[0]:
+                    detections.append(
+                        Detection(int(s), float(times[k]), float(smoothed[s, k]))
+                    )
+        return detections
+
+    def scores_for(self, chunk: np.ndarray) -> np.ndarray:
+        """Raw per-window cough probabilities for a full window batch —
+        the `predict` primitive (reference: src/inference.py:165-189)."""
+        return np.asarray(self._score_fn(jnp.asarray(chunk)))
+
+
+class CoughDetectorInference:
+    """Reference-API single-stream wrapper (reference: src/inference.py:39).
+
+    Wall-clock behavior difference, by design: debouncing/timestamps use
+    deterministic stream time; the wall-clock timestamp reported to the
+    callback is derived at event time.
+    """
+
+    def __init__(
+        self,
+        model_path: str,
+        device: str = "auto",  # accepted for API parity; JAX picks backend
+        confidence_threshold: float = 0.5,
+        smoothing_window: int = 3,
+        debounce_seconds: float = 0.5,
+        verbose: bool = True,
+    ):
+        del device
+        self.verbose = verbose
+        self.confidence_threshold = confidence_threshold
+        self.debounce_seconds = debounce_seconds
+        self._engine = StreamingDetector(
+            model_path,
+            num_streams=1,
+            chunk_size=1600,  # 100 ms at 16 kHz, the reference mic chunk
+            confidence_threshold=confidence_threshold,
+            smoothing_window=smoothing_window,
+            debounce_seconds=debounce_seconds,
+            hop_duration=0.25,
+        )
+        self.config = self._engine.config.to_flat_dict()
+        self.on_cough_detected: Optional[
+            Callable[[datetime.datetime, float], None]
+        ] = None
+        if verbose:
+            print(
+                f"Model loaded: {self._engine.config.model.model_type} "
+                f"({self._engine.num_streams} stream)"
+            )
+
+    def predict(self, features: np.ndarray) -> Tuple[bool, float]:
+        """(is_cough, p_cough) for a (1, H, T) or (B, 1, H, T) feature
+        tensor (reference: src/inference.py:165-189)."""
+        feats = jnp.asarray(features)
+        if feats.ndim == 3:
+            feats = feats[None]
+        logits = self._engine._model.apply(
+            self._engine._variables, feats, train=False
+        )
+        p = float(jax.nn.softmax(logits, axis=-1)[0, 1])
+        return p > 0.5, p
+
+    def process_audio_chunk(
+        self, audio_chunk: np.ndarray
+    ) -> Optional[Tuple[datetime.datetime, float]]:
+        """Feed raw mic samples; returns (timestamp, smoothed_confidence)
+        on a debounced detection, else None
+        (reference: src/inference.py:191-241)."""
+        audio_chunk = np.asarray(audio_chunk, np.float32)
+        if audio_chunk.ndim == 2:  # (channels, samples) → mono
+            audio_chunk = audio_chunk.mean(axis=0)
+        detections = self._engine.process_chunk(audio_chunk)
+        if not detections:
+            return None
+        det = detections[-1]
+        timestamp = datetime.datetime.now()
+        if self.on_cough_detected:
+            self.on_cough_detected(timestamp, det.confidence)
+        return timestamp, det.confidence
+
+    def reset(self) -> None:
+        self._engine.reset()

@@ -1,0 +1,199 @@
+"""Jit-compiled sliding-window ring buffer for streaming audio.
+
+The reference grows an unbounded Python-side buffer and loops
+`while len >= window: emit window; advance hop`
+(reference: src/preprocessing.py:582-612). That is re-architected as a
+fixed-shape device-resident state machine so the entire streaming step —
+buffer update, window extraction, normalization, feature extraction,
+classification, smoothing, thresholding, debouncing — compiles into ONE jit
+program per chunk, batched over S concurrent streams (BASELINE config 5:
+256 streams/chip; the stream axis shards across chips via the mesh).
+
+Key invariants (matching the reference loop exactly):
+  * fill < window after every step, so capacity window+chunk-1 suffices;
+  * a chunk of C samples completes at most K = (window-1+C-window)//hop + 1
+    windows — all K candidate windows are computed unconditionally (static
+    shapes) and masked by validity;
+  * window k starts at offset k*hop in the pending buffer; the buffer then
+    shifts left by n_valid*hop.
+
+Timestamps are *stream time* (samples consumed / sample_rate), making
+detection deterministic and testable — unlike the reference's wall-clock
+datetime.now() (reference: src/inference.py:226).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import FeatureConfig, StreamConfig
+from ..ops import frontend
+
+
+class StreamState(NamedTuple):
+    """Device-resident state for S concurrent streams (lockstep chunks)."""
+
+    buffer: jnp.ndarray        # (S, capacity) pending samples
+    fill: jnp.ndarray          # () scalar: valid samples per stream
+    windows_emitted: jnp.ndarray  # () scalar: total windows so far
+    history: jnp.ndarray       # (S, smoothing_window) recent confidences
+    history_len: jnp.ndarray   # () scalar: valid history entries (<= win)
+    last_fire_time: jnp.ndarray  # (S,) stream-time of last detection
+
+
+def init_state(
+    num_streams: int,
+    chunk_size: int,
+    window_samples: int,
+    smoothing_window: int,
+) -> StreamState:
+    capacity = window_samples + chunk_size
+    return StreamState(
+        buffer=jnp.zeros((num_streams, capacity), jnp.float32),
+        fill=jnp.zeros((), jnp.int32),
+        windows_emitted=jnp.zeros((), jnp.int32),
+        history=jnp.zeros((num_streams, smoothing_window), jnp.float32),
+        history_len=jnp.zeros((), jnp.int32),
+        last_fire_time=jnp.full((num_streams,), -1e9, jnp.float32),
+    )
+
+
+def max_windows_per_chunk(chunk_size: int, hop_samples: int) -> int:
+    return (chunk_size - 1) // hop_samples + 1
+
+
+def stream_step(
+    state: StreamState,
+    chunk: jnp.ndarray,
+    score_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    *,
+    window_samples: int,
+    hop_samples: int,
+    sample_rate: int,
+    confidence_threshold: float,
+    debounce_seconds: float,
+) -> Tuple[StreamState, dict]:
+    """One streaming tick for all S streams.
+
+    chunk: (S, C) raw audio. score_fn: (B, window) → (B,) cough probability
+    (normalize→features→model→softmax, supplied by the detector).
+
+    Returns (new_state, events) where events carries per-candidate-window
+    arrays: probs (S, K), smoothed (S, K), fired (S, K) bool,
+    valid (K,) bool, timestamps (K,) stream-time seconds.
+    """
+    s, c = chunk.shape
+    k_max = max_windows_per_chunk(c, hop_samples)
+
+    # 1. Append the chunk at the current fill offset.
+    buffer = jax.lax.dynamic_update_slice(
+        state.buffer, chunk, (jnp.int32(0), state.fill)
+    )
+    fill = state.fill + c
+
+    n_valid = jnp.maximum(
+        0, jnp.where(fill >= window_samples,
+                     (fill - window_samples) // hop_samples + 1, 0)
+    ).astype(jnp.int32)
+    n_valid = jnp.minimum(n_valid, k_max)
+
+    # 2. Score all K candidate windows (static shapes; invalid ones masked).
+    probs = []
+    for k in range(k_max):
+        win = jax.lax.dynamic_slice(
+            buffer, (jnp.int32(0), jnp.int32(k * hop_samples)),
+            (s, window_samples),
+        )
+        probs.append(score_fn(win))
+    probs = jnp.stack(probs, axis=1)  # (S, K)
+    valid = jnp.arange(k_max) < n_valid  # (K,)
+
+    # 3. Smoothing: append each valid window's prob to the circular history
+    #    and average over the populated entries — deque(maxlen).mean()
+    #    semantics (reference: src/inference.py:219-223).
+    smooth_win = state.history.shape[1]
+    history, history_len = state.history, state.history_len
+    smoothed_list = []
+    for k in range(k_max):
+        new_hist = jnp.concatenate(
+            [history[:, 1:], probs[:, k : k + 1]], axis=1
+        )
+        new_len = jnp.minimum(history_len + 1, smooth_win)
+        history = jnp.where(valid[k], new_hist, history)
+        history_len = jnp.where(valid[k], new_len, history_len)
+        idx = jnp.arange(smooth_win)
+        mask = idx >= (smooth_win - history_len)
+        denom = jnp.maximum(history_len, 1)
+        smoothed = jnp.sum(history * mask[None, :], axis=1) / denom
+        smoothed_list.append(smoothed)
+    smoothed = jnp.stack(smoothed_list, axis=1)  # (S, K)
+
+    # 4. Threshold + debounce in stream time
+    #    (reference: src/inference.py:225-239).
+    base_windows = state.windows_emitted
+    timestamps = (
+        (base_windows + jnp.arange(k_max) + 1).astype(jnp.float32)
+        * hop_samples
+        + (window_samples - hop_samples)
+    ) / sample_rate  # end-of-window stream time, (K,)
+
+    last_fire = state.last_fire_time
+    fired_list = []
+    for k in range(k_max):
+        can_fire = (
+            valid[k]
+            & (smoothed[:, k] >= confidence_threshold)
+            & (timestamps[k] - last_fire >= debounce_seconds)
+        )
+        last_fire = jnp.where(can_fire, timestamps[k], last_fire)
+        fired_list.append(can_fire)
+    fired = jnp.stack(fired_list, axis=1)  # (S, K)
+
+    # 5. Advance the buffer by the consumed hops.
+    consumed = n_valid * hop_samples
+    shifted = jax.lax.dynamic_slice(
+        jnp.pad(buffer, ((0, 0), (0, k_max * hop_samples))),
+        (jnp.int32(0), consumed),
+        (s, buffer.shape[1]),
+    )
+    new_state = StreamState(
+        buffer=shifted,
+        fill=fill - consumed,
+        windows_emitted=base_windows + n_valid,
+        history=history,
+        history_len=history_len,
+        last_fire_time=last_fire,
+    )
+    events = {
+        "probs": probs,
+        "smoothed": smoothed,
+        "fired": fired,
+        "valid": valid,
+        "timestamps": timestamps,
+    }
+    return new_state, events
+
+
+def make_stream_step(
+    score_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    feature_config: FeatureConfig,
+    stream_config: StreamConfig,
+    chunk_size: int,
+):
+    """Jitted streaming tick bound to fixed geometry."""
+    window = int(feature_config.sample_rate * stream_config.window_duration)
+    hop = int(feature_config.sample_rate * stream_config.hop_duration)
+    fn = functools.partial(
+        stream_step,
+        score_fn=score_fn,
+        window_samples=window,
+        hop_samples=hop,
+        sample_rate=feature_config.sample_rate,
+        confidence_threshold=stream_config.confidence_threshold,
+        debounce_seconds=stream_config.debounce_seconds,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -1,0 +1,237 @@
+"""Streaming tests: ring-buffer mechanics, streaming-vs-offline window
+equivalence (SURVEY.md §4 strategy #4), smoothing/debounce semantics,
+multi-stream batching, and API-compat wrapper."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cough_detector_tpu.config import Config, FeatureConfig, StreamConfig
+from cough_detector_tpu.data import synth
+from cough_detector_tpu.models import create_model, init_model
+from cough_detector_tpu.stream import (
+    StreamingDetector,
+    init_state,
+    make_stream_step,
+)
+from cough_detector_tpu.stream import ring
+
+FCFG = FeatureConfig()
+
+
+def _mean_score_step(stream_cfg, chunk=1600, num_streams=2):
+    """Stream step whose score_fn just returns the window mean — lets the
+    window-extraction logic be checked exactly."""
+    captured = []
+
+    def score_fn(windows):
+        return jnp.mean(windows, axis=1)
+
+    step = make_stream_step(score_fn, FCFG, stream_cfg, chunk)
+    state = init_state(num_streams, chunk, 16000, stream_cfg.smoothing_window)
+    return step, state
+
+
+class TestRingBuffer:
+    def test_streaming_matches_offline_slicing(self):
+        """Feeding a long signal in 100 ms chunks must emit exactly the
+        windows offline slicing would produce (window 1 s, hop 0.25 s)."""
+        cfg = StreamConfig(confidence_threshold=2.0)  # never fire
+        step, state = _mean_score_step(cfg, chunk=1600, num_streams=2)
+
+        rng = np.random.default_rng(0)
+        total = 16000 * 3
+        signal = rng.standard_normal((2, total)).astype(np.float32)
+
+        got = []
+        for i in range(total // 1600):
+            state, ev = step(state, jnp.asarray(signal[:, i * 1600 : (i + 1) * 1600]))
+            valid = np.asarray(ev["valid"])
+            for k in np.nonzero(valid)[0]:
+                got.append(np.asarray(ev["probs"])[:, k])
+
+        want = []
+        pos = 0
+        while pos + 16000 <= total:
+            want.append(signal[:, pos : pos + 16000].mean(axis=1))
+            pos += 4000
+        assert len(got) == len(want), (len(got), len(want))
+        np.testing.assert_allclose(np.stack(got), np.stack(want), atol=1e-5)
+
+    def test_timestamps_are_window_ends(self):
+        cfg = StreamConfig(confidence_threshold=2.0)
+        step, state = _mean_score_step(cfg)
+        times = []
+        for i in range(32):
+            chunk = jnp.ones((2, 1600))
+            state, ev = step(state, chunk)
+            valid = np.asarray(ev["valid"])
+            for k in np.nonzero(valid)[0]:
+                times.append(float(np.asarray(ev["timestamps"])[k]))
+        # First window ends at 1.0 s; each next 0.25 s later.
+        np.testing.assert_allclose(
+            times, 1.0 + 0.25 * np.arange(len(times)), atol=1e-6
+        )
+
+    def test_large_chunk_multiple_windows(self):
+        """A chunk bigger than the hop can complete several windows."""
+        cfg = StreamConfig(confidence_threshold=2.0)
+        step, state = _mean_score_step(cfg, chunk=16000, num_streams=1)
+        # First chunk fills exactly one window.
+        state, ev = step(state, jnp.ones((1, 16000)))
+        assert int(np.asarray(ev["valid"]).sum()) == 1
+        # Second 16000 chunk advances 4 hops.
+        state, ev = step(state, jnp.ones((1, 16000)))
+        assert int(np.asarray(ev["valid"]).sum()) == 4
+
+
+class TestSmoothingDebounce:
+    def test_smoothing_is_running_mean(self):
+        cfg = StreamConfig(confidence_threshold=2.0, smoothing_window=3)
+        step, state = _mean_score_step(cfg, chunk=4000, num_streams=1)
+        # Constant signal of value v → window mean v; smoothed values must
+        # follow deque(maxlen=3).mean() over successive identical windows.
+        vals = []
+        for i in range(8):
+            state, ev = step(state, jnp.full((1, 4000), float(i)))
+            valid = np.asarray(ev["valid"])
+            for k in np.nonzero(valid)[0]:
+                vals.append(
+                    (float(np.asarray(ev["probs"])[0, k]),
+                     float(np.asarray(ev["smoothed"])[0, k]))
+                )
+        # reproduce with a deque
+        from collections import deque
+
+        hist = deque(maxlen=3)
+        for prob, smoothed in vals:
+            hist.append(prob)
+            assert abs(smoothed - np.mean(hist)) < 1e-5
+
+    def test_debounce_blocks_rapid_fires(self):
+        cfg = StreamConfig(
+            confidence_threshold=0.5, smoothing_window=1, debounce_seconds=0.6
+        )
+        step, state = _mean_score_step(cfg, chunk=4000, num_streams=1)
+        fire_times = []
+        for i in range(16):
+            state, ev = step(state, jnp.ones((1, 4000)))  # mean 1.0 > 0.5
+            fired = np.asarray(ev["fired"])
+            for k in np.nonzero(np.asarray(ev["valid"]))[0]:
+                if fired[0, k]:
+                    fire_times.append(float(np.asarray(ev["timestamps"])[k]))
+        assert len(fire_times) >= 2
+        gaps = np.diff(fire_times)
+        assert (gaps >= 0.6 - 1e-6).all(), gaps
+
+    def test_per_stream_independent_debounce(self):
+        cfg = StreamConfig(
+            confidence_threshold=0.5, smoothing_window=1, debounce_seconds=10.0
+        )
+
+        def score_fn(windows):
+            # stream 0 hot, stream 1 cold
+            return jnp.stack([jnp.asarray(1.0), jnp.asarray(0.0)])
+
+        step = jax.jit(
+            lambda s, c: ring.stream_step(
+                s, c, score_fn, window_samples=16000, hop_samples=4000,
+                sample_rate=16000, confidence_threshold=0.5,
+                debounce_seconds=10.0,
+            )
+        )
+        state = init_state(2, 4000, 16000, 1)
+        fires = np.zeros(2, int)
+        for i in range(12):
+            state, ev = step(state, jnp.zeros((2, 4000)))
+            fired = np.asarray(ev["fired"])
+            valid = np.asarray(ev["valid"])
+            fires += (fired[:, valid]).sum(axis=1)
+        assert fires[0] == 1  # debounced after first
+        assert fires[1] == 0
+
+
+def _trained_like_variables():
+    cfg = Config.from_flat_dict({"model_type": "small"})
+    model = create_model("small")
+    variables = init_model(model, jax.random.PRNGKey(0), cfg.features.feature_shape)
+    return variables, cfg
+
+
+class TestStreamingDetector:
+    def test_multi_stream_detections_shape(self):
+        variables, cfg = _trained_like_variables()
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=4,
+            chunk_size=1600, confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0,
+        )
+        chunk = synth.fixture_batch(4, 1.0, seed=1)
+        dets = det.process_chunk(chunk)  # 1 s: completes first window
+        # threshold 0 → every stream fires on the first window
+        assert {d.stream for d in dets} == {0, 1, 2, 3}
+        assert all(abs(d.time_seconds - 1.0) < 1e-6 for d in dets)
+
+    def test_reset_clears_state(self):
+        variables, cfg = _trained_like_variables()
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            confidence_threshold=0.0, smoothing_window=1, debounce_seconds=0.0,
+        )
+        w = synth.synthetic_cough(0, 1.0)[None]
+        first = det.process_chunk(w)
+        det.reset()
+        second = det.process_chunk(w)
+        assert [d.time_seconds for d in first] == [d.time_seconds for d in second]
+
+    def test_uneven_chunks_buffered(self):
+        variables, cfg = _trained_like_variables()
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            chunk_size=1600, confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0,
+        )
+        w = synth.synthetic_cough(0, 2.0)
+        dets = []
+        # Feed in awkward 700-sample pieces.
+        for i in range(0, 32000 - 700, 700):
+            dets += det.process_chunk(w[i : i + 700])
+        assert len(dets) >= 4  # 2 s → windows at 1.0, 1.25, 1.5, 1.75...
+
+
+class TestReferenceAPIWrapper:
+    def test_process_audio_chunk_api(self, tmp_path):
+        from cough_detector_tpu.stream import CoughDetectorInference
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        variables, cfg = _trained_like_variables()
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+
+        eng = CoughDetectorInference(
+            str(pt), confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0, verbose=False,
+        )
+        fired = []
+        eng.on_cough_detected = lambda ts, conf: fired.append(conf)
+        result = None
+        w = synth.synthetic_cough(3, 1.5)
+        for i in range(0, 24000 - 1600, 1600):
+            r = eng.process_audio_chunk(w[i : i + 1600])
+            result = r or result
+        assert result is not None
+        assert fired and 0.0 <= fired[0] <= 1.0
+
+    def test_predict_feature_tensor(self, tmp_path):
+        from cough_detector_tpu.stream import CoughDetectorInference
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        variables, cfg = _trained_like_variables()
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        eng = CoughDetectorInference(str(pt), verbose=False)
+        feats = np.random.default_rng(0).standard_normal((1, 90, 101)).astype(np.float32)
+        is_cough, p = eng.predict(feats)
+        assert isinstance(is_cough, bool) or is_cough in (True, False)
+        assert 0.0 <= p <= 1.0
