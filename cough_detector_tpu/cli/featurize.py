@@ -1,0 +1,105 @@
+"""Batched offline featurization CLI — the "ingest at scale" path.
+
+Replaces the reference's per-clip CPU featurization (the dominant cost in
+its training loop, SURVEY.md §3.1) with dense device batches: directory of
+clips → (N, H, T) feature shards in .npz, reporting clips/sec. This is
+BASELINE configs 2-3 (ESC-50 / COUGHVID full-dataset featurization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Batch-featurize a directory of audio clips on TPU"
+    )
+    p.add_argument("--data-dir", type=str, required=True,
+                   help="Directory with cough/non_cough subdirs, or flat clips")
+    p.add_argument("--output", type=str, required=True,
+                   help="Output .npz path (features, labels, paths)")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--num-workers", type=int, default=16)
+    p.add_argument("--augment", action="store_true",
+                   help="Apply the training augmentation chain on device")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..augment import augment_waveforms
+    from ..config import FeatureConfig
+    from ..data import audio_io
+    from ..data.datasets import BatchLoader, ClipDataset, CoughDataset
+    from ..ops import frontend
+
+    cfg = FeatureConfig()
+    root = Path(args.data_dir)
+    if (root / "cough").exists() or (root / "non_cough").exists():
+        dataset = CoughDataset(str(root))
+    else:
+        clips = [
+            (str(f), -1)
+            for f in sorted(root.rglob("*"))
+            if f.suffix.lower() in audio_io.AUDIO_EXTENSIONS
+        ]
+        dataset = ClipDataset(clips)
+    if len(dataset) == 0:
+        raise SystemExit(f"No audio clips found under {args.data_dir}")
+
+    loader = BatchLoader(
+        dataset, args.batch_size, cfg, num_workers=args.num_workers
+    )
+
+    @jax.jit
+    def featurize(waves, key):
+        waves = frontend.peak_normalize(waves)
+        if args.augment:
+            waves = augment_waveforms(waves, key, p=0.3)
+        return frontend.extract_features(waves, cfg)
+
+    feats_out, labels_out = [], []
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.perf_counter()
+    n = 0
+    for waves, labels in loader:
+        key, sub = jax.random.split(key)
+        f = featurize(jnp.asarray(waves), sub)
+        feats_out.append(np.asarray(f))
+        labels_out.append(labels)
+        n += waves.shape[0]
+    dt = time.perf_counter() - t0
+
+    features = np.concatenate(feats_out)
+    labels = np.concatenate(labels_out)
+    np.savez_compressed(
+        args.output,
+        features=features,
+        labels=labels,
+        paths=np.asarray([p for p, _ in dataset.samples]),
+    )
+    print(
+        json.dumps(
+            {
+                "clips": int(n),
+                "feature_shape": list(features.shape[1:]),
+                "seconds": round(dt, 3),
+                "clips_per_sec": round(n / dt, 1),
+                "output": args.output,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

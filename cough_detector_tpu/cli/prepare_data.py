@@ -1,0 +1,63 @@
+"""Dataset preparation CLI (reference: prepare_data.py, setup_data.py).
+
+Downloads ESC-50 (when network permits), reorganizes it into
+cough/non_cough, and generates deterministic synthetic samples.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Prepare cough training data")
+    p.add_argument("--output-dir", type=str, default="./data")
+    p.add_argument("--esc50-dir", type=str, default="./datasets",
+                   help="Where ESC-50 lives / should be downloaded")
+    p.add_argument("--skip-download", action="store_true")
+    p.add_argument("--synthetic-coughs", type=int, default=50)
+    p.add_argument("--synthetic-non-coughs", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from pathlib import Path
+
+    from ..data import acquire
+
+    esc50_path = Path(args.esc50_dir) / "ESC-50-master"
+    if not esc50_path.exists() and not args.skip_download:
+        try:
+            esc50_path = Path(acquire.download_esc50(args.esc50_dir))
+        except Exception as e:
+            print(f"ESC-50 download failed ({e}); continuing with synthetic only")
+
+    if esc50_path.exists():
+        n_c, n_n = acquire.reorganize_esc50(
+            str(esc50_path), args.output_dir
+        )
+        print(f"ESC-50: {n_c} coughs, {n_n} hard negatives")
+    else:
+        print("ESC-50 unavailable; skipping")
+
+    n_c, n_n = acquire.generate_synthetic_dataset(
+        args.output_dir,
+        n_coughs=args.synthetic_coughs,
+        n_non_coughs=args.synthetic_non_coughs,
+        seed=args.seed,
+    )
+    print(f"Synthetic: {n_c} coughs, {n_n} non-coughs")
+
+    summary = acquire.dataset_summary(args.output_dir)
+    print("=" * 50)
+    print("DATASET SUMMARY")
+    print(f"  cough:     {summary['cough']}")
+    print(f"  non_cough: {summary['non_cough']}")
+    print(f"  output:    {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

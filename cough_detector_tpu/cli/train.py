@@ -1,0 +1,80 @@
+"""Training CLI — flag-compatible with the reference trainer
+(reference: src/train.py:521-568)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train cough detection model")
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="Directory with cough/non_cough subdirectories")
+    p.add_argument("--output-dir", type=str, default="./checkpoints")
+    p.add_argument("--model-type", type=str, default="small",
+                   choices=["standard", "small", "residual"])
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--patience", type=int, default=15)
+    p.add_argument("--device", type=str, default="auto",
+                   help="Accepted for reference-CLI parity; JAX selects the backend")
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--no-esc50", action="store_true")
+    p.add_argument("--esc50-dir", type=str, default=None)
+    p.add_argument("--export-pt", action="store_true",
+                   help="Also export best model in the reference .pt layout")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..config import Config, ModelConfig, TrainConfig
+    from ..data.acquire import download_esc50
+    from ..train import train
+
+    config = Config(
+        model=ModelConfig(model_type=args.model_type),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            weight_decay=args.weight_decay,
+            epochs=args.epochs,
+            patience=args.patience,
+        ),
+    )
+
+    esc50_dir = args.esc50_dir
+    if not args.no_esc50 and esc50_dir is None:
+        esc50_dir = download_esc50("./datasets")
+
+    best = train(
+        data_dir=args.data_dir,
+        output_dir=args.output_dir,
+        config=config,
+        use_esc50=not args.no_esc50,
+        esc50_dir=esc50_dir,
+        resume=args.resume,
+        num_workers=args.num_workers,
+    )
+    if args.export_pt:
+        from pathlib import Path
+
+        from ..train import checkpoint as ckpt
+
+        if Path(best).exists():
+            tree, epoch, metrics, cfg = ckpt.load_checkpoint(best)
+            ckpt.export_torch_checkpoint(
+                str(Path(args.output_dir) / "best_model.pt"),
+                {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+                cfg, epoch, metrics,
+            )
+            print(f"Exported {args.output_dir}/best_model.pt")
+
+
+if __name__ == "__main__":
+    main()

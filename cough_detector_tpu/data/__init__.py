@@ -1,0 +1,23 @@
+"""Data layer: audio I/O, datasets, loaders, acquisition, synthesis."""
+
+from . import acquire, audio_io, synth
+from .datasets import (
+    BatchLoader,
+    ClipDataset,
+    CombinedDataset,
+    CoughDataset,
+    ESC50Dataset,
+    prepare_dataset_split,
+)
+
+__all__ = [
+    "acquire",
+    "audio_io",
+    "synth",
+    "BatchLoader",
+    "ClipDataset",
+    "CombinedDataset",
+    "CoughDataset",
+    "ESC50Dataset",
+    "prepare_dataset_split",
+]

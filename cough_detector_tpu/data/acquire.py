@@ -1,0 +1,250 @@
+"""Dataset acquisition and curation.
+
+Capability ports of the reference's ingest scripts with identical selection
+semantics, re-pointed at this framework's I/O layer:
+
+  * ESC-50 download + extraction (reference: src/dataset.py:333-365)
+  * ESC-50 → cough/non_cough reorganization with hard negatives
+    (reference: prepare_data.py:83-94, setup_data.py:49-81)
+  * synthetic sample generation (reference: setup_data.py:95-164) via the
+    deterministic generators in data.synth
+  * COUGHVID download, confidence filtering, capping, and conversion
+    (reference: setup_coughvid.py:43-289) — per-clip failures are
+    quarantined WITH COUNTS, never silently swallowed (the reference
+    swallows them, setup_coughvid.py:261-262).
+"""
+
+from __future__ import annotations
+
+import shutil
+import urllib.request
+import zipfile
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from . import audio_io, synth
+
+ESC50_URL = "https://github.com/karoldvl/ESC-50/archive/master.zip"
+COUGHVID_URL = (
+    "https://zenodo.org/record/4048312/files/public_dataset.zip?download=1"
+)
+
+COUGH_CLASS = 24
+HARD_NEGATIVES = [20, 21, 22, 23, 25, 26, 38]
+# prepare_data.py additionally uses these two (reference: prepare_data.py:85-94)
+EXTENDED_NEGATIVES = HARD_NEGATIVES + [28, 30]  # clock_tick (38 dup ok), door knock etc.
+
+
+def download_esc50(target_dir: str) -> str:
+    """Download + extract ESC-50 (idempotent)
+    (reference: src/dataset.py:333-365)."""
+    target = Path(target_dir)
+    target.mkdir(parents=True, exist_ok=True)
+    esc50_dir = target / "ESC-50-master"
+    if esc50_dir.exists():
+        print("ESC-50 already downloaded")
+        return str(esc50_dir)
+    zip_path = target / "esc50.zip"
+    print("Downloading ESC-50 dataset...")
+    urllib.request.urlretrieve(ESC50_URL, zip_path)
+    print("Extracting...")
+    with zipfile.ZipFile(zip_path, "r") as z:
+        z.extractall(target)
+    zip_path.unlink()
+    print(f"ESC-50 downloaded to {esc50_dir}")
+    return str(esc50_dir)
+
+
+def reorganize_esc50(
+    esc50_dir: str,
+    output_dir: str,
+    negatives: Optional[list] = None,
+    prefix: str = "esc50_",
+) -> Tuple[int, int]:
+    """Copy ESC-50 coughs → cough/, hard negatives → non_cough/
+    (reference: setup_data.py:49-81)."""
+    import pandas as pd
+
+    esc50 = Path(esc50_dir)
+    out = Path(output_dir)
+    cough_dir = out / "cough"
+    non_cough_dir = out / "non_cough"
+    cough_dir.mkdir(parents=True, exist_ok=True)
+    non_cough_dir.mkdir(parents=True, exist_ok=True)
+
+    negatives = negatives if negatives is not None else HARD_NEGATIVES
+    meta = pd.read_csv(esc50 / "meta" / "esc50.csv")
+    audio_dir = esc50 / "audio"
+    n_cough = n_neg = 0
+    for _, row in meta.iterrows():
+        src = audio_dir / row["filename"]
+        if not src.exists():
+            continue
+        if int(row["target"]) == COUGH_CLASS:
+            shutil.copy2(src, cough_dir / f"{prefix}{row['filename']}")
+            n_cough += 1
+        elif int(row["target"]) in negatives:
+            shutil.copy2(src, non_cough_dir / f"{prefix}{row['filename']}")
+            n_neg += 1
+    return n_cough, n_neg
+
+
+def generate_synthetic_dataset(
+    output_dir: str,
+    n_coughs: int = 50,
+    n_non_coughs: int = 100,
+    sample_rate: int = 16000,
+    seed: int = 0,
+) -> Tuple[int, int]:
+    """Deterministic synthetic coughs + non-coughs
+    (reference: setup_data.py:95-164)."""
+    out = Path(output_dir)
+    cough_dir = out / "cough"
+    non_cough_dir = out / "non_cough"
+    cough_dir.mkdir(parents=True, exist_ok=True)
+    non_cough_dir.mkdir(parents=True, exist_ok=True)
+
+    for i in range(n_coughs):
+        wave = synth.synthetic_cough(seed + i, 2.0, sample_rate)
+        audio_io.write_wav(
+            cough_dir / f"synthetic_cough_{i:03d}.wav", wave, sample_rate
+        )
+    for i in range(n_non_coughs):
+        wave = synth.synthetic_non_cough(seed + 1000 + i, 2.0, sample_rate)
+        audio_io.write_wav(
+            non_cough_dir / f"synthetic_other_{i:03d}.wav", wave, sample_rate
+        )
+    return n_coughs, n_non_coughs
+
+
+def download_coughvid(target_dir: str) -> Optional[str]:
+    """Download + extract COUGHVID from Zenodo (~950 MB), idempotent
+    (reference: setup_coughvid.py:43-92). Returns the extracted dir or None
+    on failure (caller decides fallback)."""
+    target = Path(target_dir)
+    target.mkdir(parents=True, exist_ok=True)
+    for candidate in ("public_dataset", "coughvid"):
+        if (target / candidate).exists():
+            print("COUGHVID already downloaded")
+            return str(target / candidate)
+    zip_path = target / "coughvid.zip"
+    try:
+        print("Downloading COUGHVID (~950 MB)...")
+        urllib.request.urlretrieve(COUGHVID_URL, zip_path)
+        print("Extracting...")
+        with zipfile.ZipFile(zip_path, "r") as z:
+            z.extractall(target)
+        zip_path.unlink()
+    except Exception as e:
+        print(f"COUGHVID download failed: {e}")
+        return None
+    for candidate in ("public_dataset", "coughvid"):
+        if (target / candidate).exists():
+            return str(target / candidate)
+    return str(target)
+
+
+def prepare_coughvid(
+    coughvid_dir: str,
+    output_dir: str,
+    max_coughs: int = 3000,
+    cough_threshold: float = 0.8,
+    non_cough_threshold: float = 0.2,
+    target_sr: int = 16000,
+) -> Dict[str, int]:
+    """Filter COUGHVID by annotation confidence, rank, cap, and convert to
+    16 kHz mono wav (reference: setup_coughvid.py:95-289).
+
+    Selection semantics match the reference: cough_detected > 0.8 →
+    cough; < 0.2 (or healthy status) → non_cough; fallback 80/20 split by
+    confidence rank when filtering is thin; non-coughs capped at 1.5×
+    coughs. Failures are quarantined and COUNTED.
+    """
+    import pandas as pd
+
+    src = Path(coughvid_dir)
+    out = Path(output_dir)
+    cough_dir = out / "cough"
+    non_cough_dir = out / "non_cough"
+    cough_dir.mkdir(parents=True, exist_ok=True)
+    non_cough_dir.mkdir(parents=True, exist_ok=True)
+
+    csvs = list(src.glob("**/metadata_compiled.csv")) or list(
+        src.glob("**/*.csv")
+    )
+    if not csvs:
+        raise FileNotFoundError(f"No metadata CSV under {coughvid_dir}")
+    meta = pd.read_csv(csvs[0])
+
+    uuid_to_file = {}
+    for ext in (".webm", ".ogg", ".wav"):
+        for f in src.glob(f"**/*{ext}"):
+            uuid_to_file.setdefault(f.stem, f)
+
+    if "cough_detected" not in meta.columns:
+        raise ValueError("COUGHVID metadata missing cough_detected column")
+    meta = meta.dropna(subset=["cough_detected"])
+
+    coughs = meta[meta["cough_detected"] > cough_threshold]
+    non_mask = meta["cough_detected"] < non_cough_threshold
+    if "status" in meta.columns:
+        non_mask |= meta["status"].fillna("") == "healthy"
+    non_coughs = meta[non_mask & (meta["cough_detected"] < 0.5)]
+
+    # Fallback 80/20 split when confidence filtering leaves too little
+    # (reference: setup_coughvid.py:207-219).
+    if len(coughs) < 100 or len(non_coughs) < 50:
+        ranked = meta.sort_values("cough_detected", ascending=False)
+        cut = int(len(ranked) * 0.8)
+        coughs, non_coughs = ranked.iloc[:cut], ranked.iloc[cut:]
+
+    coughs = coughs.sort_values("cough_detected", ascending=False).head(
+        max_coughs
+    )
+    non_coughs = non_coughs.head(int(len(coughs) * 1.5))
+
+    stats = {"cough": 0, "non_cough": 0, "failed": 0, "missing": 0}
+
+    def convert(rows, dest, key):
+        for _, row in rows.iterrows():
+            f = uuid_to_file.get(str(row.get("uuid", "")))
+            if f is None:
+                stats["missing"] += 1
+                continue
+            try:
+                wave, sr = audio_io.decode_audio(f)
+                mono = wave.mean(axis=0, keepdims=True)
+                if sr != target_sr:
+                    mono = audio_io.resample_np(mono, sr, target_sr)
+                audio_io.write_wav(dest / f"coughvid_{f.stem}.wav", mono, target_sr)
+                stats[key] += 1
+            except Exception as e:
+                stats["failed"] += 1
+                print(f"  quarantined {f.name}: {e}")
+
+    convert(coughs, cough_dir, "cough")
+    convert(non_coughs, non_cough_dir, "non_cough")
+    print(
+        f"COUGHVID: {stats['cough']} coughs, {stats['non_cough']} non-coughs, "
+        f"{stats['failed']} failed, {stats['missing']} missing files"
+    )
+    return stats
+
+
+def dataset_summary(data_dir: str) -> Dict[str, int]:
+    """Count clips per class across all supported extensions
+    (reference: setup_coughvid.py:490-501)."""
+    out = {}
+    for cls in ("cough", "non_cough"):
+        d = Path(data_dir) / cls
+        n = 0
+        if d.exists():
+            n = sum(
+                1
+                for f in d.iterdir()
+                if f.suffix.lower() in audio_io.AUDIO_EXTENSIONS
+            )
+        out[cls] = n
+    return out
