@@ -203,6 +203,7 @@ class BatchLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 0,
+        backend: str = "auto",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -214,6 +215,28 @@ class BatchLoader:
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
         self._cache: Dict[str, np.ndarray] = {}
+
+        # Native (C++) decode path: threaded WAV decode+resample without the
+        # GIL. "auto" uses it when the toolchain built it and every sample is
+        # a .wav; numerics match the python path (shared resample spec).
+        self._native = False
+        if backend in ("auto", "native"):
+            all_wav = all(
+                p.lower().endswith(".wav") for p, _ in dataset.samples
+            )
+            if all_wav and len(dataset.samples) > 0:
+                from . import native_loader
+
+                if native_loader.available():
+                    self._native = True
+                elif backend == "native":
+                    raise RuntimeError(
+                        "native loader requested but unavailable"
+                    )
+            elif backend == "native":
+                raise RuntimeError(
+                    "native loader supports .wav datasets only"
+                )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -244,6 +267,18 @@ class BatchLoader:
         labels = np.asarray(
             [self.dataset.samples[i][1] for i in idxs], np.int32
         )
+        if self._native:
+            from . import audio_io, native_loader
+
+            waves, n_ok, errors = native_loader.load_batch(
+                paths, self.cfg.segment_samples, self.cfg.sample_rate,
+                n_threads=self.num_workers,
+            )
+            if n_ok < len(paths):  # fail hard, like the python path
+                raise audio_io.AudioDecodeError(
+                    f"{len(paths) - n_ok} clip(s) failed to decode: {errors}"
+                )
+            return waves, labels
         waves = np.stack(list(pool.map(self._load, paths)))
         return waves, labels
 

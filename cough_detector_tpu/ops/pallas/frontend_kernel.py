@@ -1,0 +1,235 @@
+"""Fused Pallas TPU kernel: raw waveform batch → stacked feature image.
+
+One `pallas_call` computes, per 8-clip tile, the full shipped front end
+(reference: src/preprocessing.py:432-489 with the production flags,
+src/train.py:264-287): framing → windowed 512-pt DFT as two GEMMs →
+power → mel GEMM → dB(top_db=80)+[0,1] → log-mel → DCT-II GEMM → per-clip
+z-norm → delta features — without ever materializing the (B, 101, 512)
+frame tensor in HBM (the XLA-path's dominant memory cost).
+
+Design notes (pallas_guide.md):
+  * All FLOPs are MXU matmuls over f32 with HIGHEST precision — the
+    DFT-as-GEMM formulation (cf. MelT, PAPERS.md) at n_fft=512 maps
+    straight onto the 128x128 systolic array.
+  * Frames are laid out time-major ((t*8+b) rows) so each of the 101 frame
+    copies is one contiguous (8, 512) VMEM write.
+  * Per-clip reductions (dB clamp max, MFCC mean/var) reduce over the
+    (time, freq) axes of a (101, 8, X) view.
+  * The kernel emits (B, T=101, F=90); the host-side wrapper transposes to
+    the reference's (B, 90, 101) layout, which XLA fuses into consumers.
+
+Output parity: ≤1e-3 relative against the torch golden (tested), same
+budget as the jnp reference path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import FeatureConfig
+from .. import filters
+
+# Clips per kernel program (sublane-aligned: Mosaic requires the block's
+# second-to-last dim be a multiple of 8).
+B_TILE = 8
+# The DFT stages process the (n_frames*B_TILE, n_fft) frame matrix in row
+# chunks: with all 808 rows live at once the four complex stage
+# intermediates put peak scoped VMEM at 22.8 MB > the 16 MB/core limit
+# (measured on v5e); 4 chunks of 202 rows keep it ~9 MB.
+N_ROW_CHUNKS = 4
+
+_PREC = jax.lax.Precision.HIGHEST
+_AMIN = 1e-10
+_LOG10E_X10 = float(10.0 / np.log(10.0))
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
+
+
+def _kernel(
+    wave_ref,   # (B_TILE, padded_len) f32, reflect-padded waveform
+    m1c_ref,    # (n_fft, n_fft) stage-1 DFT cos (window folded in)
+    m1s_ref,    # (n_fft, n_fft) stage-1 DFT sin
+    twc_ref,    # (1, n_fft) twiddle cos
+    tws_ref,    # (1, n_fft) twiddle sin
+    m2c_ref,    # (n_fft, n_freqs) stage-2 DFT cos
+    m2s_ref,    # (n_fft, n_freqs) stage-2 DFT sin
+    fb_ref,     # (n_freqs, n_mels) mel filterbank
+    dct_ref,    # (n_mels, n_mfcc) DCT-II ortho
+    out_ref,    # (B_TILE, n_frames, n_features) f32
+    frames_ref,  # scratch (n_frames*B_TILE, n_fft)
+    mel_ref,    # scratch (n_frames*B_TILE, n_mels)
+    *,
+    n_frames: int,
+    n_fft: int,
+    hop: int,
+    n_mels: int,
+    n_mfcc: int,
+    top_db: float,
+):
+    # 1. Frame: time-major rows, one contiguous (B_TILE, n_fft) copy per t.
+    for t in range(n_frames):
+        frames_ref[t * B_TILE : (t + 1) * B_TILE, :] = wave_ref[
+            :, t * hop : t * hop + n_fft
+        ]
+
+    # 2+3. Two-stage GEMM rFFT (see filters.four_step_dft_matrices) + power
+    #      + mel projection, in row chunks to bound live VMEM: stage-1 DFT,
+    #      complex twiddle, stage-2 DFT — FFT-grade accuracy, pure MXU.
+    total_rows = n_frames * B_TILE
+    assert total_rows % N_ROW_CHUNKS == 0
+    rows = total_rows // N_ROW_CHUNKS
+    twc, tws = twc_ref[:], tws_ref[:]
+    for chunk in range(N_ROW_CHUNKS):
+        frames = frames_ref[chunk * rows : (chunk + 1) * rows, :]
+        br = _dot(frames, m1c_ref[:])
+        bi = _dot(frames, m1s_ref[:])
+        cr = br * twc - bi * tws
+        ci = br * tws + bi * twc
+        re = _dot(cr, m2c_ref[:]) - _dot(ci, m2s_ref[:])
+        im = _dot(cr, m2s_ref[:]) + _dot(ci, m2c_ref[:])
+        power = re * re + im * im  # (rows, n_freqs)
+        mel_ref[chunk * rows : (chunk + 1) * rows, :] = _dot(power, fb_ref[:])
+
+    # 4. Log-mel (shared by dB branch and MFCC branch).
+    log_mel = _LOG10E_X10 * jnp.log(jnp.maximum(mel_ref[:], _AMIN))
+    lm3 = log_mel.reshape(n_frames, B_TILE, n_mels)
+
+    # dB branch: clamp at per-clip max - top_db, then (db+80)/80 in [0,1].
+    clip_max = jnp.max(lm3, axis=(0, 2), keepdims=True)  # (1, B, 1)
+    db = jnp.maximum(lm3, clip_max - top_db)
+    mel_norm = jnp.clip((db + top_db) / top_db, 0.0, 1.0)  # (T, B, n_mels)
+
+    # 5. MFCC branch: DCT GEMM then per-clip unbiased z-norm.
+    mfcc = _dot(log_mel, dct_ref[:]).reshape(n_frames, B_TILE, n_mfcc)
+    n = n_frames * n_mfcc
+    mean = jnp.mean(mfcc, axis=(0, 2), keepdims=True)
+    var = jnp.sum((mfcc - mean) ** 2, axis=(0, 2), keepdims=True) / (n - 1)
+    mfcc_z = (mfcc - mean) / (jnp.sqrt(var) + 1e-8)
+
+    # 6. Deltas: replicate-pad central difference along time (axis 0).
+    up = jnp.concatenate([mfcc_z[1:], mfcc_z[-1:]], axis=0)
+    down = jnp.concatenate([mfcc_z[:1], mfcc_z[:-1]], axis=0)
+    deltas = (up - down) / 2.0
+
+    # 7. Stack to (B, T, F) and write.
+    stacked = jnp.concatenate([mel_norm, mfcc_z, deltas], axis=2)
+    out_ref[:] = jnp.transpose(stacked, (1, 0, 2))
+
+
+def _supported(cfg: FeatureConfig) -> bool:
+    return (
+        cfg.use_mfcc
+        and not cfg.use_pcen
+        and not cfg.use_pre_emphasis
+        and not cfg.use_delta_delta
+        and not cfg.use_spectral_contrast
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = waves.shape[0]
+    n_frames, n_fft, hop = cfg.num_frames, cfg.n_fft, cfg.hop_length
+    n_freqs = n_fft // 2 + 1
+    n_feat = cfg.num_features
+
+    half = n_fft // 2
+    padded = jnp.pad(waves, [(0, 0), (half, half)], mode="reflect")
+    padded_len = padded.shape[1]
+
+    m1c, m1s, twc, tws, m2c, m2s = filters.four_step_dft_matrices(
+        n_fft, cfg.win_length
+    )
+    fb = filters.mel_filterbank(
+        n_freqs, cfg.n_mels, cfg.sample_rate, cfg.f_min, cfg.f_max
+    )
+    dct = filters.dct_matrix(cfg.n_mfcc, cfg.n_mels)
+
+    kernel = functools.partial(
+        _kernel,
+        n_frames=n_frames,
+        n_fft=n_fft,
+        hop=hop,
+        n_mels=cfg.n_mels,
+        n_mfcc=cfg.n_mfcc,
+        top_db=80.0,
+    )
+    n_tiles = b // B_TILE
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (B_TILE, padded_len), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            const_spec((n_fft, n_fft)),
+            const_spec((n_fft, n_fft)),
+            const_spec((1, n_fft)),
+            const_spec((1, n_fft)),
+            const_spec((n_fft, n_freqs)),
+            const_spec((n_fft, n_freqs)),
+            const_spec((n_freqs, cfg.n_mels)),
+            const_spec((cfg.n_mels, cfg.n_mfcc)),
+        ],
+        out_specs=pl.BlockSpec(
+            (B_TILE, n_frames, n_feat), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_frames, n_feat), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_frames * B_TILE, n_fft), jnp.float32),
+            pltpu.VMEM((n_frames * B_TILE, cfg.n_mels), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_frames * n_fft * (2 * n_fft + 4 * n_freqs),
+            bytes_accessed=b * (padded_len + n_frames * n_feat) * 4,
+            transcendentals=b * n_frames * cfg.n_mels,
+        ),
+    )(
+        padded,
+        jnp.asarray(m1c), jnp.asarray(m1s),
+        jnp.asarray(twc), jnp.asarray(tws),
+        jnp.asarray(m2c), jnp.asarray(m2s),
+        jnp.asarray(fb), jnp.asarray(dct),
+    )
+    return jnp.transpose(out, (0, 2, 1))  # (B, F, T) reference layout
+
+
+def extract_features_fused(
+    waves: jnp.ndarray,
+    cfg: FeatureConfig = FeatureConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, segment_samples) → (B, num_features, num_frames) via the fused
+    kernel. Batch is padded up to a multiple of 8 internally. Configs with
+    the optional branches enabled (PCEN / pre-emphasis / delta-delta /
+    spectral contrast) fall back to the jnp path."""
+    if not _supported(cfg):
+        from .. import frontend
+
+        return frontend.extract_features(waves, cfg)
+
+    b = waves.shape[0]
+    pad = (-b) % B_TILE
+    if pad:
+        waves = jnp.pad(waves, [(0, pad), (0, 0)])
+    out = _run(waves, cfg, interpret)
+    return out[:b] if pad else out

@@ -1,0 +1,85 @@
+"""Native (C++) loader tests: builds with g++, matches the Python path."""
+
+import numpy as np
+import pytest
+
+from cough_detector_tpu.config import FeatureConfig
+from cough_detector_tpu.data import audio_io, native_loader, synth
+from cough_detector_tpu.data.datasets import BatchLoader, CoughDataset
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="no C++ toolchain"
+)
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    (d / "cough").mkdir()
+    (d / "non_cough").mkdir()
+    specs = []
+    for i in range(6):
+        sr = [16000, 22050, 44100][i % 3]
+        dur = [0.5, 1.0, 2.0][i % 3]
+        cls = "cough" if i % 2 == 0 else "non_cough"
+        gen = synth.synthetic_cough if cls == "cough" else synth.synthetic_non_cough
+        wave = gen(seed=i, duration_s=dur, sample_rate=sr)
+        path = d / cls / f"{i}.wav"
+        audio_io.write_wav(path, wave, sr)
+        specs.append(str(path))
+    return d, specs
+
+
+class TestNativeLoader:
+    def test_load_clip_matches_python(self, wav_dir):
+        _, paths = wav_dir
+        for p in paths:
+            ours = native_loader.load_clip(p, 16000)
+            theirs = audio_io.load_mono_16k(p, 16000)
+            assert ours.shape == theirs.shape
+            np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    def test_load_batch_matches_python(self, wav_dir):
+        _, paths = wav_dir
+        waves, n_ok, errors = native_loader.load_batch(paths, 16000, 16000)
+        assert n_ok == len(paths) and errors == ""
+        for row, p in zip(waves, paths):
+            mono = audio_io.load_mono_16k(p, 16000)
+            n = mono.shape[0]
+            if n > 16000:
+                start = (n - 16000) // 2
+                want = mono[start : start + 16000]
+            else:
+                pad = 16000 - n
+                want = np.pad(mono, (pad // 2, pad - pad // 2))
+            np.testing.assert_allclose(row, want, atol=2e-5)
+
+    def test_bad_file_quarantined(self, tmp_path):
+        bad = tmp_path / "bad.wav"
+        bad.write_bytes(b"not audio")
+        good = tmp_path / "good.wav"
+        audio_io.write_wav(good, synth.synthetic_cough(0, 1.0), 16000)
+        waves, n_ok, errors = native_loader.load_batch(
+            [str(bad), str(good)], 16000, 16000
+        )
+        assert n_ok == 1
+        assert "bad.wav" in errors
+        assert np.all(waves[0] == 0) and not np.all(waves[1] == 0)
+
+    def test_batchloader_native_backend(self, wav_dir):
+        d, _ = wav_dir
+        ds = CoughDataset(str(d))
+        native = BatchLoader(ds, 3, FeatureConfig(), backend="native")
+        python = BatchLoader(ds, 3, FeatureConfig(), backend="python")
+        for (wn, ln), (wp, lp) in zip(native, python):
+            np.testing.assert_array_equal(ln, lp)
+            np.testing.assert_allclose(wn, wp, atol=2e-5)
+
+    def test_native_backend_fail_hard(self, tmp_path):
+        (tmp_path / "cough").mkdir()
+        (tmp_path / "non_cough").mkdir()
+        (tmp_path / "cough" / "bad.wav").write_bytes(b"garbage")
+        ds = CoughDataset(str(tmp_path))
+        loader = BatchLoader(ds, 1, FeatureConfig(), backend="native")
+        with pytest.raises(audio_io.AudioDecodeError):
+            list(loader)

@@ -1,0 +1,78 @@
+"""Fused Pallas front-end kernel tests (interpret mode on the CPU mesh;
+compiled-mode parity is validated on hardware by the verify recipe)."""
+
+import numpy as np
+import pytest
+import torch
+
+import golden_ref as gold
+from cough_detector_tpu.config import FeatureConfig
+from cough_detector_tpu.data import synth
+from cough_detector_tpu.ops import frontend
+from cough_detector_tpu.ops.pallas.frontend_kernel import (
+    B_TILE,
+    extract_features_fused,
+)
+
+CFG = FeatureConfig()
+
+
+class TestFusedKernel:
+    def test_parity_vs_golden(self, wave_batch):
+        fused = np.asarray(
+            extract_features_fused(wave_batch, CFG, interpret=True)
+        )
+        for i in range(wave_batch.shape[0]):
+            theirs = gold.extract_features(
+                torch.from_numpy(wave_batch[i])
+            ).numpy()
+            err = np.abs(fused[i] - theirs).max() / np.abs(theirs).max()
+            assert err < 1e-3, f"clip {i}: {err}"
+
+    def test_parity_vs_jnp_path(self, wave_batch):
+        fused = np.asarray(
+            extract_features_fused(wave_batch, CFG, interpret=True)
+        )
+        ref = np.asarray(frontend.extract_features(wave_batch, CFG))
+        err = np.abs(fused - ref).max() / np.abs(ref).max()
+        assert err < 1e-3
+
+    @pytest.mark.parametrize("b", [1, 5, 8, 9])
+    def test_batch_padding(self, b):
+        w = synth.fixture_batch(max(b, B_TILE + 1), 1.0, seed=2)[:b]
+        out = np.asarray(extract_features_fused(w, CFG, interpret=True))
+        assert out.shape == (b, 90, 101)
+        full = np.asarray(
+            extract_features_fused(
+                synth.fixture_batch(max(b, B_TILE + 1), 1.0, seed=2),
+                CFG, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, full[:b], atol=1e-6)
+
+    def test_unsupported_config_falls_back(self):
+        cfg = FeatureConfig(use_pcen=True)
+        w = synth.fixture_batch(2, 1.0, seed=0)
+        out = np.asarray(extract_features_fused(w, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(w, cfg))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_four_step_matrices_reconstruct_dft(self):
+        """M1·tw·M2 factorization must equal the plain windowed rDFT."""
+        from cough_detector_tpu.ops import filters
+
+        m1c, m1s, twc, tws, m2c, m2s = filters.four_step_dft_matrices(
+            512, 400, dtype=np.dtype(np.float64)
+        )
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 512)).astype(np.float64)
+        br, bi = x @ m1c, x @ m1s
+        cr = br * twc - bi * tws
+        ci = br * tws + bi * twc
+        re = cr @ m2c - ci @ m2s
+        im = cr @ m2s + ci @ m2c
+
+        w = filters.padded_window(400, 512)
+        truth = np.fft.rfft(x * w, axis=-1)
+        np.testing.assert_allclose(re, truth.real, atol=1e-9)
+        np.testing.assert_allclose(im, truth.imag, atol=1e-9)
