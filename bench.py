@@ -34,7 +34,7 @@ def main() -> None:
 
     @jax.jit
     def forward(waves):
-        feats = frontend.extract_features(waves, cfg.features)
+        feats = frontend.extract_features_fast(waves, cfg.features)
         return model.apply(variables, feats, train=False)
 
     batch = 2048

@@ -25,7 +25,7 @@ def make_serving_fn(model, variables, config: Config) -> Callable:
 
     def serve(waves: jnp.ndarray) -> jnp.ndarray:
         waves = frontend.peak_normalize(waves)
-        feats = frontend.extract_features(waves, fcfg)
+        feats = frontend.extract_features_fast(waves, fcfg)
         logits = model.apply(variables, feats, train=False)
         return jax.nn.softmax(logits, axis=-1)
 

@@ -6,6 +6,7 @@ from . import resample as resample_mod
 from .frontend import (
     compute_deltas,
     extract_features,
+    extract_features_fast,
     log_mel_norm,
     make_feature_fn,
     make_process_fn,
@@ -28,6 +29,7 @@ __all__ = [
     "frontend",
     "compute_deltas",
     "extract_features",
+    "extract_features_fast",
     "log_mel_norm",
     "make_feature_fn",
     "make_process_fn",

@@ -37,37 +37,64 @@ from .. import filters
 # Clips per kernel program (sublane-aligned: Mosaic requires the block's
 # second-to-last dim be a multiple of 8).
 B_TILE = 8
-# The DFT stages process the (n_frames*B_TILE, n_fft) frame matrix in row
-# chunks: with all 808 rows live at once the four complex stage
-# intermediates put peak scoped VMEM at 22.8 MB > the 16 MB/core limit
-# (measured on v5e); 4 chunks of 202 rows keep it ~9 MB.
-N_ROW_CHUNKS = 4
+
+# DFT matmul precision. Measured on v5e against the torch golden
+# (batch 2048, full feature stack):
+#   naive DFT + Precision.HIGHEST        1.7e-3 parity  (FAILS budget)
+#   four-step DFT + Precision.HIGHEST    6.9e-4 parity, 22.6 ms (4x FLOPs)
+#   naive DFT + bf16 X6 splitting        5.3e-4 parity, fastest
+# The X6 scheme decomposes each f32 operand into three bf16 terms and
+# accumulates the six significant cross-products in f32 — tighter than
+# HIGHEST's pass schedule here, at half the four-step's matmul count. It is
+# implemented manually below (six native bf16 MXU passes) so it works
+# identically under Mosaic and in interpret mode.
 
 _PREC = jax.lax.Precision.HIGHEST
 _AMIN = 1e-10
 _LOG10E_X10 = float(10.0 / np.log(10.0))
 
 
-def _dot(a, b):
+def _dot(a, b, algo=_PREC):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
+        preferred_element_type=jnp.float32, precision=algo,
     )
+
+
+def _split3(x):
+    """f32 → three bf16 terms whose sum reconstructs ~all 24 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_x6(a, b):
+    """f32xf32 matmul via six bf16 MXU passes (BF16_BF16_F32_X6 scheme)."""
+    a1, a2, a3 = _split3(a)
+    b1, b2, b3 = _split3(b)
+
+    def bdot(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Low-order terms first for a friendlier accumulation order.
+    out = bdot(a3, b1) + bdot(a2, b2) + bdot(a1, b3)
+    out = out + (bdot(a2, b1) + bdot(a1, b2))
+    return out + bdot(a1, b1)
 
 
 def _kernel(
     wave_ref,   # (B_TILE, padded_len) f32, reflect-padded waveform
-    m1c_ref,    # (n_fft, n_fft) stage-1 DFT cos (window folded in)
-    m1s_ref,    # (n_fft, n_fft) stage-1 DFT sin
-    twc_ref,    # (1, n_fft) twiddle cos
-    tws_ref,    # (1, n_fft) twiddle sin
-    m2c_ref,    # (n_fft, n_freqs) stage-2 DFT cos
-    m2s_ref,    # (n_fft, n_freqs) stage-2 DFT sin
+    c_ref,      # (n_fft, n_freqs) windowed DFT cos
+    s_ref,      # (n_fft, n_freqs) windowed DFT -sin
     fb_ref,     # (n_freqs, n_mels) mel filterbank
     dct_ref,    # (n_mels, n_mfcc) DCT-II ortho
     out_ref,    # (B_TILE, n_frames, n_features) f32
     frames_ref,  # scratch (n_frames*B_TILE, n_fft)
-    mel_ref,    # scratch (n_frames*B_TILE, n_mels)
     *,
     n_frames: int,
     n_fft: int,
@@ -82,26 +109,15 @@ def _kernel(
             :, t * hop : t * hop + n_fft
         ]
 
-    # 2+3. Two-stage GEMM rFFT (see filters.four_step_dft_matrices) + power
-    #      + mel projection, in row chunks to bound live VMEM: stage-1 DFT,
-    #      complex twiddle, stage-2 DFT — FFT-grade accuracy, pure MXU.
-    total_rows = n_frames * B_TILE
-    assert total_rows % N_ROW_CHUNKS == 0
-    rows = total_rows // N_ROW_CHUNKS
-    twc, tws = twc_ref[:], tws_ref[:]
-    for chunk in range(N_ROW_CHUNKS):
-        frames = frames_ref[chunk * rows : (chunk + 1) * rows, :]
-        br = _dot(frames, m1c_ref[:])
-        bi = _dot(frames, m1s_ref[:])
-        cr = br * twc - bi * tws
-        ci = br * tws + bi * twc
-        re = _dot(cr, m2c_ref[:]) - _dot(ci, m2s_ref[:])
-        im = _dot(cr, m2s_ref[:]) + _dot(ci, m2c_ref[:])
-        power = re * re + im * im  # (rows, n_freqs)
-        mel_ref[chunk * rows : (chunk + 1) * rows, :] = _dot(power, fb_ref[:])
+    # 2. Windowed rDFT as two X6 GEMMs; power; mel projection.
+    frames = frames_ref[:]
+    re = _dot_x6(frames, c_ref[:])
+    im = _dot_x6(frames, s_ref[:])
+    power = re * re + im * im  # (T*B, n_freqs)
+    mel = _dot(power, fb_ref[:])  # (T*B, n_mels); positive sums — HIGHEST ok
 
     # 4. Log-mel (shared by dB branch and MFCC branch).
-    log_mel = _LOG10E_X10 * jnp.log(jnp.maximum(mel_ref[:], _AMIN))
+    log_mel = _LOG10E_X10 * jnp.log(jnp.maximum(mel, _AMIN))
     lm3 = log_mel.reshape(n_frames, B_TILE, n_mels)
 
     # dB branch: clamp at per-clip max - top_db, then (db+80)/80 in [0,1].
@@ -150,9 +166,7 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     padded = jnp.pad(waves, [(0, 0), (half, half)], mode="reflect")
     padded_len = padded.shape[1]
 
-    m1c, m1s, twc, tws, m2c, m2s = filters.four_step_dft_matrices(
-        n_fft, cfg.win_length
-    )
+    c, s = filters.dft_matrices(n_fft, cfg.win_length)
     fb = filters.mel_filterbank(
         n_freqs, cfg.n_mels, cfg.sample_rate, cfg.f_min, cfg.f_max
     )
@@ -179,10 +193,6 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
                 (B_TILE, padded_len), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            const_spec((n_fft, n_fft)),
-            const_spec((n_fft, n_fft)),
-            const_spec((1, n_fft)),
-            const_spec((1, n_fft)),
             const_spec((n_fft, n_freqs)),
             const_spec((n_fft, n_freqs)),
             const_spec((n_freqs, cfg.n_mels)),
@@ -195,21 +205,14 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
         out_shape=jax.ShapeDtypeStruct((b, n_frames, n_feat), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((n_frames * B_TILE, n_fft), jnp.float32),
-            pltpu.VMEM((n_frames * B_TILE, cfg.n_mels), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_frames * n_fft * (2 * n_fft + 4 * n_freqs),
+            flops=2 * b * n_frames * n_fft * 2 * n_freqs * 6,
             bytes_accessed=b * (padded_len + n_frames * n_feat) * 4,
             transcendentals=b * n_frames * cfg.n_mels,
         ),
-    )(
-        padded,
-        jnp.asarray(m1c), jnp.asarray(m1s),
-        jnp.asarray(twc), jnp.asarray(tws),
-        jnp.asarray(m2c), jnp.asarray(m2s),
-        jnp.asarray(fb), jnp.asarray(dct),
-    )
+    )(padded, jnp.asarray(c), jnp.asarray(s), jnp.asarray(fb), jnp.asarray(dct))
     return jnp.transpose(out, (0, 2, 1))  # (B, F, T) reference layout
 
 

@@ -98,7 +98,7 @@ class StreamingDetector:
 
         def score_fn(windows: jnp.ndarray) -> jnp.ndarray:
             waves = frontend.peak_normalize(windows)
-            feats = frontend.extract_features(waves, fcfg)
+            feats = frontend.extract_features_fast(waves, fcfg)
             logits = model.apply(self._variables, feats, train=False)
             return jax.nn.softmax(logits, axis=-1)[:, 1]
 

@@ -69,3 +69,37 @@ class TestObservability:
             lt.record(v)
         p = lt.percentiles()
         assert p["n"] == 5 and p["p50"] == 0.3 and p["p99"] > 0.9
+
+
+class TestBNFold:
+    import pytest as _pytest
+
+    @ _pytest.mark.parametrize("mt", ["standard", "small", "residual"])
+    def test_folded_matches_eval(self, mt):
+        import jax.numpy as jnp
+        from cough_detector_tpu.models import create_model, init_model
+        from cough_detector_tpu.models.fuse import fold_batchnorm
+
+        model = create_model(mt)
+        variables = init_model(model, jax.random.PRNGKey(3), (90, 101))
+        # Randomize batch stats so folding is actually exercised.
+        import jax as _jax
+
+        leaves, treedef = _jax.tree_util.tree_flatten(variables["batch_stats"])
+        rng = np.random.default_rng(0)
+        leaves = [
+            np.abs(rng.standard_normal(l.shape)).astype(np.float32) + 0.5
+            for l in leaves
+        ]
+        variables = {
+            "params": variables["params"],
+            "batch_stats": _jax.tree_util.tree_unflatten(treedef, leaves),
+        }
+
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((3, 90, 101)).astype(np.float32)
+        )
+        want = np.asarray(model.apply(variables, x, train=False))
+        folded = fold_batchnorm(variables, mt)
+        got = np.asarray(model.apply(folded, x, train=False))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
