@@ -1,0 +1,188 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: DP training
+step, sharded featurization, and stream-axis-sharded serving. This is the
+JAX-idiomatic fake backend for pjit validation (SURVEY.md §4 #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cough_detector_tpu.config import Config, FeatureConfig, default_config
+from cough_detector_tpu.data import synth
+from cough_detector_tpu.models import create_model, init_model
+from cough_detector_tpu.ops import frontend
+from cough_detector_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
+from cough_detector_tpu.train import steps
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:N_DEV])
+
+
+class TestMeshBasics:
+    def test_shard_batch_lays_out_on_all_devices(self, mesh):
+        x = np.zeros((16, 100), np.float32)
+        sharded = shard_batch(x, mesh)
+        assert len(sharded.sharding.device_set) == N_DEV
+
+    def test_pad_to_multiple(self):
+        x = np.ones((13, 4))
+        padded, n = pad_to_multiple(x, 8)
+        assert padded.shape == (16, 4) and n == 13
+        assert np.all(padded[13:] == 0)
+
+
+class TestShardedFeaturization:
+    def test_matches_single_device(self, mesh):
+        cfg = FeatureConfig()
+        w = synth.fixture_batch(16, 1.0, seed=0)
+        single = np.asarray(frontend.extract_features(w, cfg))
+
+        fn = jax.jit(lambda x: frontend.extract_features(x, cfg))
+        sharded_in = shard_batch(jnp.asarray(w), mesh)
+        multi = np.asarray(fn(sharded_in))
+        np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-6)
+
+
+class TestDPTrainStep:
+    def test_dp_step_matches_single_device(self, mesh):
+        """The SAME jitted train step on 1 device and on the 8-device mesh
+        must produce identical params — XLA's inserted psum is exact for
+        this batch layout."""
+        cfg = default_config("small")
+        model = create_model("small")
+        variables = init_model(model, jax.random.PRNGKey(0), cfg.features.feature_shape)
+        tx = steps.make_optimizer(cfg.train, steps_per_epoch=1)
+
+        feature_fn = lambda w: frontend.extract_features(w, cfg.features)
+        step = steps.make_train_step(feature_fn=feature_fn, donate=False)
+
+        batch = 16
+        waves = jnp.asarray(synth.fixture_batch(batch, 1.0, seed=1))
+        labels = jnp.asarray(np.arange(batch) % 2, jnp.int32)
+        cw = jnp.asarray([1.0, 1.0])
+        rng = jax.random.PRNGKey(2)
+
+        # Compare the global loss and raw gradients (post-Adam params can
+        # legitimately differ by ±lr where a gradient component is ~0 and
+        # reduction order flips its sign).
+        def loss_and_grads(params, batch_stats, w, l):
+            def loss_fn(p):
+                # Eval-mode forward: per-sample independent, so the sharded
+                # and single-device gradients differ only by summation
+                # order (train-mode BN batch statistics would add
+                # reduction-order noise orthogonal to what this test
+                # checks — the gradient psum).
+                logits = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    feature_fn(w), train=False,
+                )
+                return steps.weighted_cross_entropy(logits, l, cw)
+
+            return jax.value_and_grad(loss_fn)(params)
+
+        fn = jax.jit(loss_and_grads)
+        l1, g1 = fn(variables["params"], variables["batch_stats"], waves, labels)
+
+        w8, l8 = shard_batch((waves, labels), mesh)
+        p8, b8 = replicate((variables["params"], variables["batch_stats"]), mesh)
+        l8_, g8 = fn(p8, b8, w8, l8)
+
+        assert float(l1) == pytest.approx(float(l8_), rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g8)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            )
+
+        # And the full optimizer step must run under the mesh.
+        s8 = replicate(steps.create_train_state(model, variables, tx), mesh)
+        rng8, cw8 = replicate((rng, cw), mesh)
+        s8, m8 = step(s8, w8, l8, rng8, cw8)
+        assert np.isfinite(float(m8["loss"]))
+
+    def test_grad_sync_is_global(self, mesh):
+        """Per-device sub-batches with different data must yield the same
+        (global-mean) update on every device — i.e., gradients really sync."""
+        cfg = default_config("small")
+        model = create_model("small")
+        variables = init_model(model, jax.random.PRNGKey(0), cfg.features.feature_shape)
+        tx = steps.make_optimizer(cfg.train, steps_per_epoch=1)
+        step = steps.make_train_step(donate=False)
+
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((16, 90, 101)).astype(np.float32)
+        )
+        labels = jnp.asarray(np.arange(16) % 2, jnp.int32)
+        cw = jnp.asarray([1.0, 1.0])
+        state = replicate(
+            steps.create_train_state(model, variables, tx), mesh
+        )
+        f8, l8 = shard_batch((feats, labels), mesh)
+        rng8, cw8 = replicate((jax.random.PRNGKey(1), cw), mesh)
+        new_state, _ = step(state, f8, l8, rng8, cw8)
+        # Params must be fully replicated (identical across devices) after
+        # the update.
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+
+class TestStreamSharding:
+    def test_stream_axis_shards_across_devices(self, mesh):
+        """BASELINE config 5 at scale: the serving stream axis shards over
+        the mesh; the tick runs unchanged and matches single-device."""
+        from cough_detector_tpu.config import StreamConfig
+        from cough_detector_tpu.stream import ring
+
+        def score_fn(windows):
+            return jnp.mean(windows, axis=1)
+
+        scfg = StreamConfig(confidence_threshold=2.0)
+        step = ring.make_stream_step(score_fn, FeatureConfig(), scfg, 4000)
+
+        n_streams = 16
+        chunks = [
+            jnp.asarray(
+                np.random.default_rng(t).standard_normal((n_streams, 4000)).astype(np.float32)
+            )
+            for t in range(6)
+        ]
+        # single device (the step donates its state — build fresh ones
+        # for each section)
+        s1 = ring.init_state(n_streams, 4000, 16000, 3)
+        probs1 = []
+        for c in chunks:
+            s1, ev = step(s1, c)
+            probs1.append(np.asarray(ev["probs"]))
+
+        # sharded over the stream axis
+        sh = batch_sharding(mesh)
+        state = ring.init_state(n_streams, 4000, 16000, 3)
+        s8 = ring.StreamState(
+            buffer=jax.device_put(state.buffer, sh),
+            fill=replicate(state.fill, mesh),
+            windows_emitted=replicate(state.windows_emitted, mesh),
+            history=jax.device_put(state.history, sh),
+            history_len=replicate(state.history_len, mesh),
+            last_fire_time=jax.device_put(state.last_fire_time, sh),
+        )
+        probs8 = []
+        for c in chunks:
+            s8, ev = step(s8, jax.device_put(c, sh))
+            probs8.append(np.asarray(ev["probs"]))
+        np.testing.assert_allclose(
+            np.stack(probs1), np.stack(probs8), rtol=1e-5, atol=1e-6
+        )
