@@ -30,6 +30,17 @@ from .ops import (
     process,
 )
 from .augment import augment_waveforms, mixup, spec_augment
+from .preprocessing import (
+    AudioPreprocessor,
+    RealtimePreprocessor,
+    create_preprocessor,
+)
+from .augmentation import (
+    AudioAugmentor,
+    MixUp,
+    SpecAugment,
+    create_augmentation_pipeline,
+)
 
 __all__ = [
     "Config",
@@ -52,16 +63,31 @@ __all__ = [
     "augment_waveforms",
     "mixup",
     "spec_augment",
+    "AudioPreprocessor",
+    "RealtimePreprocessor",
+    "create_preprocessor",
+    "AudioAugmentor",
+    "MixUp",
+    "SpecAugment",
+    "create_augmentation_pipeline",
+    "CoughDataset",
+    "ESC50Dataset",
+    "download_esc50",
 ]
 
 
 def __getattr__(name):
     # Heavier subsystems load lazily so `import cough_detector_tpu` stays
     # light for serving-only or data-prep-only uses.
-    if name in ("CoughDataset", "ESC50Dataset", "CombinedDataset", "BatchLoader"):
+    if name in ("CoughDataset", "ESC50Dataset", "CombinedDataset", "BatchLoader",
+                "create_data_loaders"):
         from .data import datasets
 
         return getattr(datasets, name)
+    if name == "download_esc50":
+        from .data.acquire import download_esc50 as _d
+
+        return _d
     if name in ("StreamingDetector", "CoughDetectorInference",
                 "RealtimeMicrophoneDetector", "list_audio_devices"):
         from . import stream

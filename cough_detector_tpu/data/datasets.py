@@ -309,3 +309,26 @@ class BatchLoader:
                 raise item
             yield item
         thread.join()
+
+
+def create_data_loaders(
+    train_dataset: ClipDataset,
+    val_dataset: ClipDataset,
+    batch_size: int = 32,
+    num_workers: int = 4,
+    use_weighted_sampler: bool = True,
+    feature_config: FeatureConfig = FeatureConfig(),
+) -> Tuple[BatchLoader, BatchLoader]:
+    """Reference-API loader factory (reference: src/dataset.py:368-418):
+    weighted-with-replacement + drop_last training loader, sequential
+    validation loader."""
+    train_loader = BatchLoader(
+        train_dataset, batch_size, feature_config,
+        shuffle=not use_weighted_sampler,
+        weighted=use_weighted_sampler, drop_last=True,
+        num_workers=num_workers,
+    )
+    val_loader = BatchLoader(
+        val_dataset, batch_size, feature_config, num_workers=num_workers
+    )
+    return train_loader, val_loader
