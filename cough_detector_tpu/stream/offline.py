@@ -1,0 +1,120 @@
+"""Batched offline scoring of long recordings.
+
+The TPU-native answer to "long sequences" for this domain (SURVEY.md §5):
+instead of streaming a long file through the ring buffer, frame the whole
+waveform into its (n_windows, window) sliding-window batch in one shot and
+score every window in parallel — data-parallel over windows, shardable over
+chips on the mesh. Smoothing/threshold/debounce then run as a cheap scan
+over the per-window probabilities, reproducing the streaming detector's
+event semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, StreamConfig
+from ..models import create_model
+from ..ops import frontend
+
+
+class OfflineDetection(NamedTuple):
+    time_seconds: float
+    confidence: float
+
+
+def frame_windows(
+    wave: jnp.ndarray, window_samples: int, hop_samples: int
+) -> jnp.ndarray:
+    """(S,) → (n_windows, window_samples) sliding-window batch."""
+    n = (wave.shape[-1] - window_samples) // hop_samples + 1
+    if n <= 0:
+        return jnp.zeros((0, window_samples), wave.dtype)
+    idx = (
+        np.arange(n)[:, None] * hop_samples + np.arange(window_samples)[None, :]
+    )
+    return wave[idx]
+
+
+def smooth_and_debounce(
+    probs: np.ndarray,
+    hop_samples: int,
+    window_samples: int,
+    sample_rate: int,
+    threshold: float,
+    smoothing_window: int,
+    debounce_seconds: float,
+) -> List[OfflineDetection]:
+    """Streaming-equivalent event extraction over batched window scores
+    (reference semantics: src/inference.py:216-239). Debouncing uses integer
+    sample indices — identical to the ring buffer's arithmetic."""
+    from collections import deque
+
+    history: deque = deque(maxlen=smoothing_window)
+    debounce = int(round(debounce_seconds * sample_rate))
+    last_fire = -(1 << 60)
+    out: List[OfflineDetection] = []
+    for k, p in enumerate(probs):
+        history.append(float(p))
+        smoothed = float(np.mean(history))
+        t_samples = k * hop_samples + window_samples
+        if smoothed >= threshold and t_samples - last_fire >= debounce:
+            last_fire = t_samples
+            out.append(
+                OfflineDetection(
+                    float(np.float32(t_samples) / sample_rate), smoothed
+                )
+            )
+    return out
+
+
+def score_recording(
+    wave: np.ndarray,
+    variables: dict,
+    config: Config,
+    *,
+    hop_duration: float = 0.25,
+    threshold: float = 0.5,
+    smoothing_window: int = 3,
+    debounce_seconds: float = 0.5,
+    batch_size: int = 1024,
+) -> List[OfflineDetection]:
+    """Score one long mono 16 kHz recording; returns debounced detections
+    identical to streaming it chunk-by-chunk."""
+    fcfg = config.features
+    window = fcfg.segment_samples
+    hop = int(fcfg.sample_rate * hop_duration)
+    model = create_model(config.model.model_type)
+
+    @jax.jit
+    def score(windows):
+        waves = frontend.peak_normalize(windows)
+        feats = frontend.extract_features_fast(waves, fcfg)
+        logits = model.apply(variables, feats, train=False)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    windows = frame_windows(jnp.asarray(wave, jnp.float32), window, hop)
+    n = windows.shape[0]
+    probs = np.empty(n, np.float32)
+    for start in range(0, n, batch_size):
+        chunk = windows[start : start + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad and n > batch_size:  # keep one compiled shape
+            chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+        probs[start : start + min(batch_size, n - start)] = np.asarray(
+            score(chunk)
+        )[: min(batch_size, n - start)]
+
+    return smooth_and_debounce(
+        probs,
+        hop_samples=hop,
+        window_samples=window,
+        sample_rate=fcfg.sample_rate,
+        threshold=threshold,
+        smoothing_window=smoothing_window,
+        debounce_seconds=debounce_seconds,
+    )

@@ -42,7 +42,7 @@ class StreamState(NamedTuple):
     windows_emitted: jnp.ndarray  # () scalar: total windows so far
     history: jnp.ndarray       # (S, smoothing_window) recent confidences
     history_len: jnp.ndarray   # () scalar: valid history entries (<= win)
-    last_fire_time: jnp.ndarray  # (S,) stream-time of last detection
+    last_fire_time: jnp.ndarray  # (S,) int32 sample index of last detection
 
 
 def init_state(
@@ -58,7 +58,8 @@ def init_state(
         windows_emitted=jnp.zeros((), jnp.int32),
         history=jnp.zeros((num_streams, smoothing_window), jnp.float32),
         history_len=jnp.zeros((), jnp.int32),
-        last_fire_time=jnp.full((num_streams,), -1e9, jnp.float32),
+        last_fire_time=jnp.full((num_streams,), jnp.iinfo(jnp.int32).min // 2,
+                                jnp.int32),
     )
 
 
@@ -133,23 +134,26 @@ def stream_step(
     smoothed = jnp.stack(smoothed_list, axis=1)  # (S, K)
 
     # 4. Threshold + debounce in stream time
-    #    (reference: src/inference.py:225-239).
+    #    (reference: src/inference.py:225-239). All time arithmetic is in
+    #    integer SAMPLES — f32 seconds round such that an exact
+    #    debounce-interval boundary (e.g. 0.5 s at a 0.25 s hop) flakily
+    #    compares as 0.49999976 < 0.5 and drops legitimate detections.
     base_windows = state.windows_emitted
-    timestamps = (
-        (base_windows + jnp.arange(k_max) + 1).astype(jnp.float32)
-        * hop_samples
-        + (window_samples - hop_samples)
-    ) / sample_rate  # end-of-window stream time, (K,)
+    ts_samples = (
+        (base_windows + jnp.arange(k_max)) * hop_samples + window_samples
+    )  # end-of-window sample index, (K,) int32
+    timestamps = ts_samples.astype(jnp.float32) / sample_rate
+    debounce_samples = jnp.int32(round(debounce_seconds * sample_rate))
 
-    last_fire = state.last_fire_time
+    last_fire = state.last_fire_time  # (S,) int32 sample index
     fired_list = []
     for k in range(k_max):
         can_fire = (
             valid[k]
             & (smoothed[:, k] >= confidence_threshold)
-            & (timestamps[k] - last_fire >= debounce_seconds)
+            & (ts_samples[k] - last_fire >= debounce_samples)
         )
-        last_fire = jnp.where(can_fire, timestamps[k], last_fire)
+        last_fire = jnp.where(can_fire, ts_samples[k], last_fire)
         fired_list.append(can_fire)
     fired = jnp.stack(fired_list, axis=1)  # (S, K)
 

@@ -235,3 +235,49 @@ class TestReferenceAPIWrapper:
         is_cough, p = eng.predict(feats)
         assert isinstance(is_cough, bool) or is_cough in (True, False)
         assert 0.0 <= p <= 1.0
+
+
+class TestOfflineScoring:
+    def test_matches_streaming_detector(self):
+        """Offline batched scoring must emit the same detections as feeding
+        the same recording through the streaming ring buffer."""
+        from cough_detector_tpu.stream import offline
+
+        variables, cfg = _trained_like_variables()
+        wave = np.concatenate(
+            [synth.synthetic_cough(i, 1.0) for i in range(5)]
+        )  # 5 s
+
+        dets_off = offline.score_recording(
+            wave, variables, cfg,
+            hop_duration=0.25, threshold=0.0, smoothing_window=3,
+            debounce_seconds=0.5,
+        )
+
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            chunk_size=1600, confidence_threshold=0.0, smoothing_window=3,
+            debounce_seconds=0.5,
+        )
+        dets_stream = det.process_chunk(wave[None])
+
+        assert len(dets_off) == len(dets_stream)
+        for a, b in zip(dets_off, dets_stream):
+            assert abs(a.time_seconds - b.time_seconds) < 1e-6
+            assert abs(a.confidence - b.confidence) < 1e-4
+
+    def test_frame_windows_geometry(self):
+        from cough_detector_tpu.stream.offline import frame_windows
+        import jax.numpy as jnp
+
+        w = jnp.arange(16000 * 2, dtype=jnp.float32)
+        f = frame_windows(w, 16000, 4000)
+        assert f.shape == (5, 16000)
+        assert float(f[1, 0]) == 4000.0
+
+    def test_short_recording_no_windows(self):
+        from cough_detector_tpu.stream.offline import frame_windows
+        import jax.numpy as jnp
+
+        f = frame_windows(jnp.zeros(1000), 16000, 4000)
+        assert f.shape == (0, 16000)
