@@ -46,25 +46,27 @@ def main(argv=None) -> None:
         raise SystemExit("--model is required (unless --list-devices)")
 
     if args.wav:
+        # Offline file mode scores every sliding window in ONE batched
+        # device program (stream/offline.py) — identical detections to
+        # streaming, minus the per-tick dispatch.
         from ..data import audio_io
+        from ..stream.detector import _load_any_checkpoint
+        from ..stream.offline import score_recording
 
         wave = audio_io.load_mono_16k(args.wav)
-        det = StreamingDetector(
-            args.model,
-            num_streams=args.streams,
-            confidence_threshold=args.threshold,
+        variables, config = _load_any_checkpoint(args.model)
+        events = score_recording(
+            wave, variables, config,
+            hop_duration=0.25,
+            threshold=args.threshold,
             smoothing_window=args.smoothing,
             debounce_seconds=args.debounce,
         )
-        import numpy as np
-
-        batch = np.broadcast_to(wave, (args.streams, wave.shape[0])).copy()
-        events = det.process_chunk(batch)
         if not events:
             print("No coughs detected.")
         for ev in events:
             print(
-                f"stream {ev.stream}: cough at t={ev.time_seconds:.2f}s "
+                f"cough at t={ev.time_seconds:.2f}s "
                 f"(confidence {ev.confidence:.2%})"
             )
         return

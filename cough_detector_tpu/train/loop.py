@@ -158,14 +158,20 @@ def train(
 
     for epoch in range(start_epoch, epochs):
         # ---- train ----
+        # Metrics stay on device until epoch end: a float() per batch would
+        # force a host sync per step and serialize dispatch (measured: the
+        # whole TPU epoch becomes round-trip-bound).
         t0 = time.perf_counter()
         acc = EpochAccumulator()
+        pending = []
         for waves, labels in train_loader:
             rng, step_key = jax.random.split(rng)
             state, m = train_step(
                 state, (jnp.asarray(waves), step_key), jnp.asarray(labels),
                 step_key, class_weights,
             )
+            pending.append(m)
+        for m in jax.device_get(pending):
             acc.update(m)
         train_m = acc.summary()
         train_time = time.perf_counter() - t0
@@ -173,11 +179,13 @@ def train(
         # ---- validate ----
         t0 = time.perf_counter()
         vacc = EpochAccumulator()
-        for waves, labels in val_loader:
-            vacc.update(
-                eval_step(state, jnp.asarray(waves), jnp.asarray(labels),
-                          class_weights)
-            )
+        pending = [
+            eval_step(state, jnp.asarray(waves), jnp.asarray(labels),
+                      class_weights)
+            for waves, labels in val_loader
+        ]
+        for m in jax.device_get(pending):
+            vacc.update(m)
         val_m = vacc.summary()
         val_time = time.perf_counter() - t0
 
