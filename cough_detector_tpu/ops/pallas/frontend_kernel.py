@@ -89,9 +89,9 @@ def _dot_x6(a, b):
 
 def _kernel(
     wave_ref,   # (B_TILE, padded_len) f32, reflect-padded waveform
-    c_ref,      # (n_fft, n_freqs) windowed DFT cos
-    s_ref,      # (n_fft, n_freqs) windowed DFT -sin
-    fb_ref,     # (n_freqs, n_mels) mel filterbank
+    c_ref,      # (n_fft, n_used_bins) windowed DFT cos (band-limited)
+    s_ref,      # (n_fft, n_used_bins) windowed DFT -sin
+    fb_ref,     # (n_used_bins, n_mels) mel filterbank
     dct_ref,    # (n_mels, n_mfcc) DCT-II ortho
     out_ref,    # (B_TILE, n_frames, n_features) f32
     frames_ref,  # scratch (n_frames*B_TILE, n_fft)
@@ -172,6 +172,15 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     )
     dct = filters.dct_matrix(cfg.n_mfcc, cfg.n_mels)
 
+    # Band-limit the DFT to the filterbank's support: with the shipped
+    # f_max=4 kHz the mel filters end at bin 128 of 257, so bins past the
+    # last nonzero filterbank row contribute exactly zero to every feature.
+    # Dropping them halves the DFT FLOPs and removes MXU lane padding
+    # (128 lanes = one full tile vs 257→384).
+    last_nonzero = int(np.max(np.nonzero(np.any(fb != 0, axis=1))[0])) + 1
+    n_used = min(n_freqs, ((last_nonzero + 127) // 128) * 128)
+    c, s, fb = c[:, :n_used], s[:, :n_used], fb[:n_used]
+
     kernel = functools.partial(
         _kernel,
         n_frames=n_frames,
@@ -193,9 +202,9 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
                 (B_TILE, padded_len), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            const_spec((n_fft, n_freqs)),
-            const_spec((n_fft, n_freqs)),
-            const_spec((n_freqs, cfg.n_mels)),
+            const_spec((n_fft, n_used)),
+            const_spec((n_fft, n_used)),
+            const_spec((n_used, cfg.n_mels)),
             const_spec((cfg.n_mels, cfg.n_mfcc)),
         ],
         out_specs=pl.BlockSpec(
@@ -208,7 +217,7 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_frames * n_fft * 2 * n_freqs * 6,
+            flops=2 * b * n_frames * n_fft * 2 * n_used * 6,
             bytes_accessed=b * (padded_len + n_frames * n_feat) * 4,
             transcendentals=b * n_frames * cfg.n_mels,
         ),
