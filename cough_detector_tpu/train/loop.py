@@ -40,6 +40,21 @@ from . import steps
 from .metrics import EarlyStopping, EpochAccumulator
 
 
+def _device_prefetch(loader):
+    """Async-transfer each batch one step ahead of compute: jax.device_put
+    is non-blocking, so the next batch's H2D copy overlaps the current
+    step's execution (the loader's decode threads already overlap I/O)."""
+    it = iter(loader)
+    try:
+        nxt = jax.device_put(next(it))
+    except StopIteration:
+        return
+    for batch in it:
+        cur, nxt = nxt, jax.device_put(batch)
+        yield cur
+    yield nxt
+
+
 def _build_datasets(
     data_dir: Optional[str],
     use_esc50: bool,
@@ -126,7 +141,9 @@ def train(
             waves, k1, p=tcfg.p_augment,
             noise_bank=None if noise_bank is None else jnp.asarray(noise_bank),
         )
-        feats = frontend.extract_features(waves, fcfg)
+        # Fused Pallas kernel on TPU; features carry no trainable params so
+        # no VJP is traced through the kernel.
+        feats = frontend.extract_features_fast(waves, fcfg)
         return spec_augment(
             feats, k2,
             freq_mask_param=tcfg.freq_mask_param,
@@ -137,7 +154,7 @@ def train(
         )
 
     def eval_features(waves):
-        return frontend.extract_features(frontend.peak_normalize(waves), fcfg)
+        return frontend.extract_features_fast(frontend.peak_normalize(waves), fcfg)
 
     train_step = steps.make_train_step(feature_fn=train_features)
     eval_step = steps.make_eval_step(feature_fn=eval_features)
@@ -164,11 +181,10 @@ def train(
         t0 = time.perf_counter()
         acc = EpochAccumulator()
         pending = []
-        for waves, labels in train_loader:
+        for waves, labels in _device_prefetch(train_loader):
             rng, step_key = jax.random.split(rng)
             state, m = train_step(
-                state, (jnp.asarray(waves), step_key), jnp.asarray(labels),
-                step_key, class_weights,
+                state, (waves, step_key), labels, step_key, class_weights,
             )
             pending.append(m)
         for m in jax.device_get(pending):
@@ -180,9 +196,8 @@ def train(
         t0 = time.perf_counter()
         vacc = EpochAccumulator()
         pending = [
-            eval_step(state, jnp.asarray(waves), jnp.asarray(labels),
-                      class_weights)
-            for waves, labels in val_loader
+            eval_step(state, waves, labels, class_weights)
+            for waves, labels in _device_prefetch(val_loader)
         ]
         for m in jax.device_get(pending):
             vacc.update(m)
