@@ -22,6 +22,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -40,6 +41,12 @@ def time_shift(
 
     Matches the reference's pad-then-trim (NOT circular) shift
     (reference: src/augmentation.py:95-104).
+
+    Implementation: zero-pad each row by the shift limit and take one
+    vmapped `dynamic_slice` per row. Measured inside the full train step on
+    v5e (512x16000): element-index gather (take_along_axis) +85 ms, one-hot
+    grouped conv +71 ms, this slice form +0.6 ms — XLA lowers the batched
+    contiguous slice efficiently where the other two hit slow paths.
     """
     b, s = waves.shape
     k_gate, k_amt = jax.random.split(key)
@@ -49,10 +56,12 @@ def time_shift(
     ).astype(jnp.int32)
     amt = jnp.where(apply, amt, 0)
 
-    idx = jnp.arange(s)[None, :] - amt[:, None]  # source index per output pos
-    valid = (idx >= 0) & (idx < s)
-    gathered = jnp.take_along_axis(waves, jnp.clip(idx, 0, s - 1), axis=1)
-    return jnp.where(valid, gathered, 0.0)
+    limit = int(np.ceil(shift_limit * s))
+    padded = jnp.pad(waves, ((0, 0), (limit, limit)))
+    starts = limit - amt  # out[b, n] = x[b, n - amt]
+    return jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, s)
+    )(padded, starts)
 
 
 def volume_perturbation(

@@ -132,15 +132,17 @@ def train(
     tx = steps.make_optimizer(tcfg, steps_per_epoch)
     state = steps.create_train_state(model, variables, tx)
 
-    # Device-side: normalize → waveform augment → features → SpecAugment.
+    # Device-side: waveform augment → normalize → features → SpecAugment —
+    # the reference's op order (augment the raw waveform, then normalize;
+    # reference: src/dataset.py:150-163).
     def train_features(args):
         waves, key = args
-        waves = frontend.peak_normalize(waves)
         k1, k2 = jax.random.split(key)
         waves = augment_waveforms(
             waves, k1, p=tcfg.p_augment,
             noise_bank=None if noise_bank is None else jnp.asarray(noise_bank),
         )
+        waves = frontend.peak_normalize(waves)
         # Fused Pallas kernel on TPU; features carry no trainable params so
         # no VJP is traced through the kernel.
         feats = frontend.extract_features_fast(waves, fcfg)
@@ -168,7 +170,10 @@ def train(
         start_epoch = epoch + 1
         print(f"Resumed from {resume} at epoch {start_epoch}")
 
-    rng = jax.random.PRNGKey(tcfg.seed + 1)
+    # rbg PRNG: threefry costs ~18 ms per (512, 16000) normal draw on v5e;
+    # the hardware-backed rbg generator is ~100x faster and plenty for
+    # augmentation randomness.
+    rng = jax.random.key(tcfg.seed + 1, impl="rbg")
     metrics_log = (out / "metrics.jsonl").open("a")
     epochs = max_epochs if max_epochs is not None else tcfg.epochs
     best_path = str(out / "best_model")
