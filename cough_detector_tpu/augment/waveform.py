@@ -121,11 +121,14 @@ def add_file_noise(
     pick = jax.random.randint(k_pick, (b,), 0, n)
     noise = noise_bank[pick]  # (B, S_bank)
 
-    # Random crop to S (bank clips are stored at >= S samples).
+    # Random crop to S (bank clips are stored at >= S samples). Batched
+    # contiguous dynamic_slice — same rationale as time_shift: the
+    # element-index gather lowers to a slow path on TPU.
     max_start = max(noise_bank.shape[1] - s, 0)
     start = jax.random.randint(k_start, (b,), 0, max_start + 1)
-    idx = start[:, None] + jnp.arange(s)[None, :]
-    noise = jnp.take_along_axis(noise, idx, axis=1)
+    noise = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, s)
+    )(noise, start)
 
     snr_db = jax.random.uniform(
         k_snr, (b,), minval=snr_range[0], maxval=snr_range[1]
