@@ -102,3 +102,40 @@ class TestTrainDetect:
 
         detect.main(["--list-devices"])
         assert "audio input devices" in capsys.readouterr().out
+
+
+class TestEvaluate:
+    def test_dataset_mode(self, data_dir, tmp_path, capsys):
+        from cough_detector_tpu.cli import evaluate, train as tcli
+
+        out = tmp_path / "ck"
+        tcli.main([
+            "--data-dir", str(data_dir), "--output-dir", str(out),
+            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
+            "--no-esc50", "--num-workers", "2",
+        ])
+        capsys.readouterr()
+        evaluate.main([
+            "--model", str(out / "latest_model"),
+            "--data-dir", str(data_dir), "--batch-size", "8",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["tp"] + rec["fp"] + rec["fn"] + rec["tn"] == 14
+        assert 0 <= rec["accuracy"] <= 100
+
+    def test_behavioral_mode(self, data_dir, tmp_path, capsys):
+        from cough_detector_tpu.cli import evaluate, train as tcli
+
+        out = tmp_path / "ck2"
+        tcli.main([
+            "--data-dir", str(data_dir), "--output-dir", str(out),
+            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
+            "--no-esc50", "--num-workers", "2",
+        ])
+        capsys.readouterr()
+        evaluate.main([
+            "--model", str(out / "latest_model"), "--behavioral",
+            "--minutes", "0.1", "--threshold", "0.99",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "fp_per_min_silence" in rec and "cough_detection_rate" in rec
