@@ -141,20 +141,55 @@ def add_file_noise(
     return waves + scale[:, None] * noise
 
 
+def speed_perturbation(
+    waves: jnp.ndarray,
+    key: jax.Array,
+    p: float,
+    factors: Tuple[float, ...] = (0.9, 0.95, 1.05, 1.1),
+) -> jnp.ndarray:
+    """Opt-in speed perturbation (the reference disables its own version
+    because of CPU memory issues, src/augmentation.py:107-117; this one is
+    batched and bounded).
+
+    Each clip picks one of a static set of speed factors (or identity, with
+    prob 1-p). The batch is resampled once per factor (cheap strided convs)
+    and per-clip selection is a where — fixed shapes, no data-dependent
+    control flow. Faster playback (factor > 1) shortens the clip; output is
+    center pad/trimmed back to the original length.
+    """
+    from ..ops.frontend import pad_or_trim
+    from ..ops.resample import resample
+
+    b, s = waves.shape
+    k_gate, k_pick = jax.random.split(key)
+    apply = _gate(k_gate, p, b)
+    pick = jax.random.randint(k_pick, (b,), 0, len(factors))
+
+    out = waves
+    for i, f in enumerate(factors):
+        virtual_sr = int(round(16000 / f))
+        stretched = pad_or_trim(resample(waves, 16000, virtual_sr), s)
+        out = jnp.where((apply & (pick == i))[:, None], stretched, out)
+    return out
+
+
 def augment_waveforms(
     waves: jnp.ndarray,
     key: jax.Array,
     p: float = 0.3,
     noise_bank: Optional[jnp.ndarray] = None,
+    use_speed_perturbation: bool = False,
 ) -> jnp.ndarray:
     """The full reference chain (reference: src/augmentation.py:249-268).
 
-    Speed perturbation stays disabled to match the reference's deliberate
-    no-op (reference: src/augmentation.py:107-117).
+    Speed perturbation defaults OFF to match the reference's deliberate
+    no-op (reference: src/augmentation.py:107-117); pass
+    use_speed_perturbation=True for the working batched implementation.
     """
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     waves = time_shift(waves, k1, p)
-    # speed_perturbation: no-op by design.
+    if use_speed_perturbation:
+        waves = speed_perturbation(waves, k5, p)
     waves = volume_perturbation(waves, k2, p)
     waves = add_gaussian_noise(waves, k3, p)
     if noise_bank is not None and noise_bank.shape[0] > 0:

@@ -158,3 +158,34 @@ class TestPitchShift:
         w = _waves(2)
         out = pitch_shift_semitones(w, 0)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(w))
+
+
+class TestSpeedPerturbation:
+    def test_changes_dominant_frequency(self):
+        from cough_detector_tpu.augment.waveform import speed_perturbation
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        w = jnp.asarray(np.tile(tone, (16, 1)))
+        out = np.asarray(speed_perturbation(w, KEY, p=1.0))
+        peaks = []
+        for i in range(16):
+            spec = np.abs(np.fft.rfft(out[i] * np.hanning(sr)))
+            peaks.append(np.argmax(spec) * sr / sr)
+        # Every clip lands near 440*f for one of the factors.
+        for pk in peaks:
+            ratios = pk / 440.0
+            assert min(abs(ratios - f) for f in (0.9, 0.95, 1.05, 1.1)) < 0.02
+
+    def test_p_zero_identity(self):
+        from cough_detector_tpu.augment.waveform import speed_perturbation
+
+        w = _waves(4)
+        out = speed_perturbation(w, KEY, p=0.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(w))
+
+    def test_chain_flag(self):
+        w = _waves(4)
+        a = augment_waveforms(w, KEY, p=0.0, use_speed_perturbation=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(w))

@@ -76,3 +76,23 @@ class TestFusedKernel:
         truth = np.fft.rfft(x * w, axis=-1)
         np.testing.assert_allclose(re, truth.real, atol=1e-9)
         np.testing.assert_allclose(im, truth.imag, atol=1e-9)
+
+
+class TestAlternateConfigs:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(n_mels=32, n_mfcc=8),
+            dict(segment_duration=0.5),
+            dict(f_max=8000.0),   # full-band filterbank (no band-limit cut)
+            dict(n_fft=256, win_length=200, hop_length=80),
+        ],
+    )
+    def test_parity_vs_jnp(self, kw):
+        cfg = FeatureConfig(**kw)
+        w = synth.fixture_batch(8, cfg.segment_duration, seed=4)
+        fused = np.asarray(extract_features_fused(w, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(w, cfg))
+        assert fused.shape == ref.shape
+        err = np.abs(fused - ref).max() / max(np.abs(ref).max(), 1e-8)
+        assert err < 1e-3, err
