@@ -102,6 +102,7 @@ def _kernel(
     n_mels: int,
     n_mfcc: int,
     top_db: float,
+    delta_delta: bool,
 ):
     # 1. Frame: time-major rows, one contiguous (B_TILE, n_fft) copy per t.
     for t in range(n_frames):
@@ -133,21 +134,29 @@ def _kernel(
     mfcc_z = (mfcc - mean) / (jnp.sqrt(var) + 1e-8)
 
     # 6. Deltas: replicate-pad central difference along time (axis 0).
-    up = jnp.concatenate([mfcc_z[1:], mfcc_z[-1:]], axis=0)
-    down = jnp.concatenate([mfcc_z[:1], mfcc_z[:-1]], axis=0)
-    deltas = (up - down) / 2.0
+    def _delta(x):
+        up = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        down = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        return (up - down) / 2.0
+
+    deltas = _delta(mfcc_z)
+    parts = [mel_norm, mfcc_z, deltas]
+    if delta_delta:
+        parts.append(_delta(deltas))
 
     # 7. Stack to (B, T, F) and write.
-    stacked = jnp.concatenate([mel_norm, mfcc_z, deltas], axis=2)
+    stacked = jnp.concatenate(parts, axis=2)
     out_ref[:] = jnp.transpose(stacked, (1, 0, 2))
 
 
 def _supported(cfg: FeatureConfig) -> bool:
+    # Pre-emphasis applies outside the kernel (elementwise, fuses into the
+    # reflect pad); delta-delta is an extra in-kernel diff. PCEN (time
+    # cumsum) and spectral contrast (per-band sorts on the full spectrum)
+    # stay on the jnp path.
     return (
         cfg.use_mfcc
         and not cfg.use_pcen
-        and not cfg.use_pre_emphasis
-        and not cfg.use_delta_delta
         and not cfg.use_spectral_contrast
     )
 
@@ -161,6 +170,11 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     n_frames, n_fft, hop = cfg.num_frames, cfg.n_fft, cfg.hop_length
     n_freqs = n_fft // 2 + 1
     n_feat = cfg.num_features
+
+    if cfg.use_pre_emphasis:
+        from .. import frontend as _frontend
+
+        waves = _frontend.pre_emphasis(waves, cfg.pre_emphasis_coef)
 
     half = n_fft // 2
     padded = jnp.pad(waves, [(0, 0), (half, half)], mode="reflect")
@@ -189,6 +203,7 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
         n_mels=cfg.n_mels,
         n_mfcc=cfg.n_mfcc,
         top_db=80.0,
+        delta_delta=cfg.use_delta_delta,
     )
     n_tiles = b // B_TILE
     const_spec = lambda shape: pl.BlockSpec(

@@ -96,3 +96,27 @@ class TestAlternateConfigs:
         assert fused.shape == ref.shape
         err = np.abs(fused - ref).max() / max(np.abs(ref).max(), 1e-8)
         assert err < 1e-3, err
+
+
+class TestExtendedFlags:
+    def test_pre_emphasis_and_delta_delta(self):
+        cfg = FeatureConfig(use_pre_emphasis=True, use_delta_delta=True)
+        assert cfg.num_features == 64 + 13 * 3
+        w = synth.fixture_batch(8, 1.0, seed=5)
+        fused = np.asarray(extract_features_fused(w, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(w, cfg))
+        assert fused.shape == ref.shape == (8, 103, 101)
+        err = np.abs(fused - ref).max() / np.abs(ref).max()
+        assert err < 1e-3, err
+
+    def test_vs_golden_with_flags(self, cough_wave):
+        cfg = FeatureConfig(use_pre_emphasis=True, use_delta_delta=True)
+        fused = np.asarray(
+            extract_features_fused(cough_wave[None], cfg, interpret=True)
+        )[0]
+        theirs = gold.extract_features(
+            torch.from_numpy(cough_wave),
+            use_pre_emphasis=True, use_delta_delta=True,
+        ).numpy()
+        err = np.abs(fused - theirs).max() / np.abs(theirs).max()
+        assert err < 1e-3, err
