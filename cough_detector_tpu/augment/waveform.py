@@ -179,15 +179,20 @@ def augment_waveforms(
     p: float = 0.3,
     noise_bank: Optional[jnp.ndarray] = None,
     use_speed_perturbation: bool = False,
+    use_time_shift: bool = True,
 ) -> jnp.ndarray:
     """The full reference chain (reference: src/augmentation.py:249-268).
 
     Speed perturbation defaults OFF to match the reference's deliberate
     no-op (reference: src/augmentation.py:107-117); pass
     use_speed_perturbation=True for the working batched implementation.
+    use_time_shift=False skips the shift here for pipelines that apply it
+    at crop time against the full-length clip (reference-faithful training;
+    see data.datasets.BatchLoader time_shift_limit).
     """
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    waves = time_shift(waves, k1, p)
+    if use_time_shift:
+        waves = time_shift(waves, k1, p)
     if use_speed_perturbation:
         waves = speed_perturbation(waves, k5, p)
     waves = volume_perturbation(waves, k2, p)

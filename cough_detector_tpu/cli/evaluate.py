@@ -73,20 +73,23 @@ def _dataset_eval(args) -> None:
         # Pad the tail batch to the compiled shape.
         n = waves.shape[0]
         if n < args.batch_size:
-            waves = np.pad(waves, ((0, args.batch_size - n), (0, 0)))
-            labels_p = np.pad(labels, (0, args.batch_size - n))
-            m = jax.device_get(step(jnp.asarray(waves), jnp.asarray(labels_p)))
-            # Recompute tail-only confusion on host to drop padding.
-            # (simplest correct handling; tail happens once per run)
-            from ..models import predict as _predict
+            # Tail batch: recompute everything (loss included) on the real
+            # rows only — padding with silent/label-0 rows would bias the
+            # reported loss.
+            from ..train.steps import weighted_cross_entropy
 
             feats = frontend.extract_features_fast(
-                frontend.peak_normalize(jnp.asarray(waves[:n])), fcfg
+                frontend.peak_normalize(jnp.asarray(waves)), fcfg
             )
             logits = model.apply(variables, feats, train=False)
             preds = np.asarray(jnp.argmax(logits, -1))
+            loss = float(
+                weighted_cross_entropy(
+                    logits, jnp.asarray(labels), jnp.asarray([1.0, 1.0])
+                )
+            )
             m = {
-                "loss": m["loss"],
+                "loss": loss,
                 "correct": int((preds == labels).sum()),
                 "count": n,
                 "tp": int(((preds == 1) & (labels == 1)).sum()),

@@ -162,24 +162,35 @@ def prepare_dataset_split(
 # ---------------------------------------------------------------------------
 
 
-def _load_clip(path: str, segment_samples: int, sample_rate: int) -> np.ndarray:
-    """Decode+resample one clip and center pad/trim to segment length.
+def _crop_window(
+    wave: np.ndarray, segment_samples: int, shift: int = 0
+) -> np.ndarray:
+    """Center pad/trim a full clip to segment length, optionally with the
+    window displaced by `shift` samples.
 
-    Center framing here mirrors the reference's pad_or_trim
-    (reference: src/preprocessing.py:358-385); peak-normalization happens on
-    device so augmentation sees the un-normalized waveform, matching the
-    reference's op order (src/dataset.py:150-163).
+    shift=0 reproduces the reference's center pad_or_trim
+    (reference: src/preprocessing.py:358-385). A nonzero shift reproduces
+    the reference's full-clip time_shift-then-center-trim: shifting the
+    whole waveform by +a and center-trimming equals cropping the window at
+    center-a, with zero fill where the window leaves the clip
+    (reference: src/augmentation.py:95-104 then src/dataset.py:156-160) —
+    so shifted-in content is real adjacent audio, not synthetic silence,
+    exactly as reference training sees it.
     """
-    wave = audio_io.load_mono_16k(path, sample_rate)
     n = wave.shape[0]
-    if n > segment_samples:
-        start = (n - segment_samples) // 2
-        wave = wave[start : start + segment_samples]
-    elif n < segment_samples:
-        pad = segment_samples - n
-        left = pad // 2
-        wave = np.pad(wave, (left, pad - left))
-    return wave.astype(np.float32)
+    # final[j] = x[c + j - shift] iff BOTH the destination index (c + j,
+    # the position inside the clip-length array the reference shifts
+    # within) and the source index (c + j - shift) lie inside [0, n) —
+    # for clips shorter than the segment the reference's shift drops
+    # content at the clip edge before padding.
+    c = (n - segment_samples) // 2
+    out = np.zeros(segment_samples, np.float32)
+    j_lo = max(-c, shift - c, 0)
+    j_hi = min(n - c, n - c + shift, segment_samples)
+    if j_hi > j_lo:
+        src = c - shift
+        out[j_lo:j_hi] = wave[src + j_lo : src + j_hi]
+    return out
 
 
 class BatchLoader:
@@ -204,6 +215,9 @@ class BatchLoader:
         prefetch: int = 4,
         seed: int = 0,
         backend: str = "auto",
+        time_shift_limit: float = 0.0,
+        time_shift_prob: float = 0.0,
+        cache_bytes: int = 2 << 30,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -213,14 +227,28 @@ class BatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        # time-shift augmentation happens at crop time, against the FULL
+        # decoded clip (reference semantics — see _crop_window); device-side
+        # time_shift would only see the pre-cropped 1 s window.
+        self.time_shift_limit = time_shift_limit
+        self.time_shift_prob = time_shift_prob
         self._rng = np.random.default_rng(seed)
-        self._cache: Dict[str, np.ndarray] = {}
+        # Bounded LRU over full decoded clips (cache_bytes=0 disables).
+        import collections
+
+        self._cache: "collections.OrderedDict[str, np.ndarray]" = (
+            collections.OrderedDict()
+        )
+        self._cache_bytes = cache_bytes
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
 
         # Native (C++) decode path: threaded WAV decode+resample without the
-        # GIL. "auto" uses it when the toolchain built it and every sample is
-        # a .wav; numerics match the python path (shared resample spec).
+        # GIL. "auto" uses it when the toolchain built it, every sample is a
+        # .wav, and no crop-time augmentation is requested (the native path
+        # center-fits in C++; shift augmentation needs the full clip).
         self._native = False
-        if backend in ("auto", "native"):
+        if backend in ("auto", "native") and time_shift_prob == 0.0:
             all_wav = all(
                 p.lower().endswith(".wav") for p, _ in dataset.samples
             )
@@ -254,13 +282,39 @@ class BatchLoader:
             self._rng.shuffle(idx)
         return idx
 
-    def _load(self, path: str) -> np.ndarray:
-        hit = self._cache.get(path)
-        if hit is not None:
-            return hit
-        clip = _load_clip(path, self.cfg.segment_samples, self.cfg.sample_rate)
-        self._cache[path] = clip
+    def _load_full(self, path: str) -> np.ndarray:
+        with self._cache_lock:
+            hit = self._cache.get(path)
+            if hit is not None:
+                self._cache.move_to_end(path)
+                return hit
+        clip = audio_io.load_mono_16k(path, self.cfg.sample_rate).astype(
+            np.float32
+        )
+        if self._cache_bytes > 0:
+            with self._cache_lock:
+                self._cache[path] = clip
+                self._cache_used += clip.nbytes
+                while self._cache_used > self._cache_bytes and self._cache:
+                    _, evicted = self._cache.popitem(last=False)
+                    self._cache_used -= evicted.nbytes
         return clip
+
+    def _load(self, path: str, shift: int = 0) -> np.ndarray:
+        return _crop_window(
+            self._load_full(path), self.cfg.segment_samples, shift
+        )
+
+    def _shifts_for(self, n: int) -> np.ndarray:
+        if self.time_shift_prob <= 0.0 or self.time_shift_limit <= 0.0:
+            return np.zeros(n)
+        apply = self._rng.uniform(size=n) <= self.time_shift_prob
+        # Shift magnitude is relative to each clip's FULL length (reference
+        # semantics); resolved per clip at crop time via the limit fraction.
+        frac = self._rng.uniform(
+            -self.time_shift_limit, self.time_shift_limit, size=n
+        )
+        return np.where(apply, frac, 0.0)
 
     def _make_batch(self, idxs: np.ndarray, pool) -> Tuple[np.ndarray, np.ndarray]:
         paths = [self.dataset.samples[i][0] for i in idxs]
@@ -279,7 +333,15 @@ class BatchLoader:
                     f"{len(paths) - n_ok} clip(s) failed to decode: {errors}"
                 )
             return waves, labels
-        waves = np.stack(list(pool.map(self._load, paths)))
+        fracs = self._shifts_for(len(paths))
+
+        def load_one(args):
+            path, frac = args
+            clip = self._load_full(path)
+            shift = int(round(float(frac) * clip.shape[0]))
+            return _crop_window(clip, self.cfg.segment_samples, shift)
+
+        waves = np.stack(list(pool.map(load_one, zip(paths, fracs))))
         return waves, labels
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -288,27 +350,47 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded-queue put that gives up if the consumer went away —
+            # otherwise an abandoned iterator (e.g. an exception in the
+            # training loop) leaves this thread blocked forever.
+            while not abandoned.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for b in range(n_batches):
                         idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        out_q.put(self._make_batch(idxs, pool))
+                        if not put(self._make_batch(idxs, pool)):
+                            return
                 except BaseException as e:  # surface decode errors, never hang
-                    out_q.put(e)
+                    put(e)
                 finally:
-                    out_q.put(sentinel)
+                    put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Generator closed early (consumer exception/break): release the
+            # producer so its thread pool and prefetched batches don't leak.
+            abandoned.set()
+            thread.join(timeout=5.0)
 
 
 def create_data_loaders(

@@ -303,7 +303,14 @@ def spectral_contrast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     freqs = jnp.asarray(
         np.linspace(0, cfg.sample_rate // 2, n_freqs, dtype=np.float32)
     )
-    centroid = jnp.sum(mag * freqs, axis=2) / jnp.sum(mag, axis=2)
+    # Guard digitally-silent frames: torchaudio's centroid is 0/0 = NaN
+    # there, and the per-clip z-norm would poison every contrast row (same
+    # failure mode as the reference's single-bin-band bug above). Define the
+    # centroid of silence as 0.
+    mag_sum = jnp.sum(mag, axis=2)
+    centroid = jnp.where(
+        mag_sum > 0, jnp.sum(mag * freqs, axis=2) / jnp.where(mag_sum > 0, mag_sum, 1.0), 0.0
+    )
     rows.append(centroid / (cfg.sample_rate / 2.0))
 
     contrast = jnp.stack(rows, axis=2)[:, :t, :]  # (B, T, n_bands+1)

@@ -246,10 +246,12 @@ def extract_features_fused(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, segment_samples) → (B, num_features, num_frames) via the fused
-    kernel. Batch is padded up to a multiple of 8 internally. Configs with
-    the optional branches enabled (PCEN / pre-emphasis / delta-delta /
-    spectral contrast) fall back to the jnp path."""
-    if not _supported(cfg):
+    kernel. Batch is padded up to a multiple of 8 internally. Configs the
+    kernel doesn't cover (PCEN, spectral contrast, no-MFCC) and waveforms
+    whose length differs from cfg.segment_samples (the kernel's frame count
+    is baked to the segment geometry) fall back to the jnp path, so output
+    always matches frontend.extract_features."""
+    if not _supported(cfg) or waves.shape[-1] != cfg.segment_samples:
         from .. import frontend
 
         return frontend.extract_features(waves, cfg)

@@ -141,11 +141,19 @@ class StreamingDetector:
             fired = np.asarray(events["fired"])
             valid = np.asarray(events["valid"])
             smoothed = np.asarray(events["smoothed"])
-            times = np.asarray(events["timestamps"])
+            win_idx = np.asarray(events["window_index"])
+            hop = int(
+                self.config.features.sample_rate
+                * self.stream_config.hop_duration
+            )
+            sr = self.config.features.sample_rate
             for k in np.nonzero(valid)[0]:
+                # Exact stream time from the integer window index (the f32
+                # in-events timestamp loses precision on long streams).
+                t = (int(win_idx[k]) * hop + self.window_samples) / sr
                 for s in np.nonzero(fired[:, k])[0]:
                     detections.append(
-                        Detection(int(s), float(times[k]), float(smoothed[s, k]))
+                        Detection(int(s), t, float(smoothed[s, k]))
                     )
         return detections
 
@@ -219,11 +227,16 @@ class CoughDetectorInference:
         detections = self._engine.process_chunk(audio_chunk)
         if not detections:
             return None
-        det = detections[-1]
+        # The callback fires once per detected cough — unlike the reference,
+        # which returns out of its window loop on the first detection and
+        # silently drops any further debounced events in the same chunk
+        # (reference: src/inference.py:216-239). The returned tuple is the
+        # first event, matching the reference's return.
         timestamp = datetime.datetime.now()
         if self.on_cough_detected:
-            self.on_cough_detected(timestamp, det.confidence)
-        return timestamp, det.confidence
+            for det in detections:
+                self.on_cough_detected(timestamp, det.confidence)
+        return timestamp, detections[0].confidence
 
     def reset(self) -> None:
         self._engine.reset()

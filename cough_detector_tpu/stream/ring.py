@@ -42,7 +42,7 @@ class StreamState(NamedTuple):
     windows_emitted: jnp.ndarray  # () scalar: total windows so far
     history: jnp.ndarray       # (S, smoothing_window) recent confidences
     history_len: jnp.ndarray   # () scalar: valid history entries (<= win)
-    last_fire_time: jnp.ndarray  # (S,) int32 sample index of last detection
+    last_fire_window: jnp.ndarray  # (S,) int32 window index of last detection
 
 
 def init_state(
@@ -58,8 +58,7 @@ def init_state(
         windows_emitted=jnp.zeros((), jnp.int32),
         history=jnp.zeros((num_streams, smoothing_window), jnp.float32),
         history_len=jnp.zeros((), jnp.int32),
-        last_fire_time=jnp.full((num_streams,), jnp.iinfo(jnp.int32).min // 2,
-                                jnp.int32),
+        last_fire_window=jnp.full((num_streams,), -(1 << 24), jnp.int32),
     )
 
 
@@ -135,25 +134,32 @@ def stream_step(
 
     # 4. Threshold + debounce in stream time
     #    (reference: src/inference.py:225-239). All time arithmetic is in
-    #    integer SAMPLES — f32 seconds round such that an exact
+    #    integer WINDOW INDICES: f32 seconds round such that an exact
     #    debounce-interval boundary (e.g. 0.5 s at a 0.25 s hop) flakily
-    #    compares as 0.49999976 < 0.5 and drops legitimate detections.
+    #    compares as 0.49999976 < 0.5 and drops detections, and int32
+    #    *sample* indices overflow after ~37 h at 16 kHz. Window k fires at
+    #    sample w_k*hop + window, so the debounce condition
+    #    (w_k - w_last)*hop >= debounce_samples is exactly
+    #    w_k - w_last >= ceil(debounce_samples / hop); int32 window indices
+    #    are safe for 2^31 windows (~17 years at a 0.25 s hop).
     base_windows = state.windows_emitted
-    ts_samples = (
-        (base_windows + jnp.arange(k_max)) * hop_samples + window_samples
-    )  # end-of-window sample index, (K,) int32
-    timestamps = ts_samples.astype(jnp.float32) / sample_rate
-    debounce_samples = jnp.int32(round(debounce_seconds * sample_rate))
+    win_idx = base_windows + jnp.arange(k_max)  # (K,) int32
+    timestamps = (
+        win_idx.astype(jnp.float32) * hop_samples + window_samples
+    ) / sample_rate  # display only; hosts derive exact times from win_idx
+    debounce_windows = jnp.int32(
+        -(-int(round(debounce_seconds * sample_rate)) // hop_samples)
+    )
 
-    last_fire = state.last_fire_time  # (S,) int32 sample index
+    last_fire = state.last_fire_window  # (S,) int32 window index
     fired_list = []
     for k in range(k_max):
         can_fire = (
             valid[k]
             & (smoothed[:, k] >= confidence_threshold)
-            & (ts_samples[k] - last_fire >= debounce_samples)
+            & (win_idx[k] - last_fire >= debounce_windows)
         )
-        last_fire = jnp.where(can_fire, ts_samples[k], last_fire)
+        last_fire = jnp.where(can_fire, win_idx[k], last_fire)
         fired_list.append(can_fire)
     fired = jnp.stack(fired_list, axis=1)  # (S, K)
 
@@ -170,7 +176,7 @@ def stream_step(
         windows_emitted=base_windows + n_valid,
         history=history,
         history_len=history_len,
-        last_fire_time=last_fire,
+        last_fire_window=last_fire,
     )
     events = {
         "probs": probs,
@@ -178,6 +184,7 @@ def stream_step(
         "fired": fired,
         "valid": valid,
         "timestamps": timestamps,
+        "window_index": win_idx,
     }
     return new_state, events
 

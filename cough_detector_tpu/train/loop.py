@@ -110,6 +110,10 @@ def train(
     train_loader = BatchLoader(
         train_ds, tcfg.batch_size, fcfg, weighted=True, drop_last=True,
         num_workers=num_workers, seed=tcfg.seed,
+        # Time-shift augmentation at crop time against the FULL clip — the
+        # reference shifts before center-trimming, so shifted-in content is
+        # real adjacent audio (src/augmentation.py:95-104 + dataset.py:156).
+        time_shift_limit=0.2, time_shift_prob=tcfg.p_augment,
     )
     val_loader = BatchLoader(
         val_ds, tcfg.batch_size, fcfg, num_workers=num_workers,
@@ -141,6 +145,7 @@ def train(
         waves = augment_waveforms(
             waves, k1, p=tcfg.p_augment,
             noise_bank=None if noise_bank is None else jnp.asarray(noise_bank),
+            use_time_shift=False,  # applied at crop time by the loader
         )
         waves = frontend.peak_normalize(waves)
         # Fused Pallas kernel on TPU; features carry no trainable params so
@@ -168,7 +173,16 @@ def train(
         state = ckpt.restore_into_state(state, tree)
         best_f1 = metrics.get("f1", 0.0)
         start_epoch = epoch + 1
-        print(f"Resumed from {resume} at epoch {start_epoch}")
+        # Resuming from latest_model must not let a worse model overwrite
+        # the standing best: best_f1 is the max over the resumed metrics and
+        # the existing best_model checkpoint.
+        best_meta = out / "best_model" / "meta.json"
+        if best_meta.exists():
+            best_f1 = max(
+                best_f1,
+                json.loads(best_meta.read_text())["metrics"].get("f1", 0.0),
+            )
+        print(f"Resumed from {resume} at epoch {start_epoch} (best F1 {best_f1:.4f})")
 
     # rbg PRNG: threefry costs ~18 ms per (512, 16000) normal draw on v5e;
     # the hardware-backed rbg generator is ~100x faster and plenty for

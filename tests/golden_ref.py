@@ -197,7 +197,13 @@ def spectral_contrast(
     # SpectralCentroid: win_length defaults to n_fft, magnitude (power=1).
     mag = stft_power(wave, n_fft, hop_length, n_fft, power=1.0)
     freqs = torch.linspace(0, sample_rate // 2, n_freq).unsqueeze(1)
-    centroid = (mag * freqs).sum(dim=0) / mag.sum(dim=0)
+    mag_sum = mag.sum(dim=0)
+    # Silence guard matching the rebuild (torchaudio gives 0/0=NaN here and
+    # the z-norm would poison the whole map — see docs/PARITY.md).
+    centroid = torch.where(
+        mag_sum > 0, (mag * freqs).sum(dim=0) / mag_sum.clamp(min=1e-30),
+        torch.zeros_like(mag_sum),
+    )
     centroid = centroid / (sample_rate / 2)
     contrast[-1, : centroid.shape[0]] = centroid
 

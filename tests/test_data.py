@@ -193,3 +193,83 @@ class TestBatchLoader:
         combo = CombinedDataset([a, b])
         assert len(combo) == 48
         assert combo.class_counts == {0: 36, 1: 12}
+
+
+class TestReviewFixes:
+    def test_crop_window_matches_shift_then_trim(self):
+        """_crop_window(shift) must equal reference shift-then-center-trim."""
+        from cough_detector_tpu.data.datasets import _crop_window
+
+        rng = np.random.default_rng(0)
+        for L, shift in [(80000, 16000), (80000, -9000), (20000, 3000),
+                         (8000, 1000), (8000, -1600)]:
+            wave = rng.standard_normal(L).astype(np.float32)
+            # reference: shift the full clip (zero fill), then center trim/pad
+            shifted = np.zeros(L, np.float32)
+            if shift >= 0:
+                shifted[shift:] = wave[: L - shift]
+            else:
+                shifted[:shift] = wave[-shift:]
+            want = gold.pad_or_trim(torch.from_numpy(shifted), 16000).numpy()
+            got = _crop_window(wave, 16000, shift)
+            np.testing.assert_allclose(got, want, atol=1e-7, err_msg=f"L={L},a={shift}")
+
+    def test_loader_crop_shift_augmentation(self, data_dir):
+        ds = CoughDataset(data_dir)
+        plain = BatchLoader(ds, 4, FeatureConfig(), num_workers=2, seed=1)
+        shifted = BatchLoader(
+            ds, 4, FeatureConfig(), num_workers=2, seed=1,
+            time_shift_limit=0.2, time_shift_prob=1.0,
+        )
+        (wp, _), (ws, _) = next(iter(plain)), next(iter(shifted))
+        assert wp.shape == ws.shape == (4, 16000)
+        assert not np.allclose(wp, ws)
+
+    def test_cache_is_bounded(self, data_dir):
+        ds = CoughDataset(data_dir)
+        loader = BatchLoader(
+            ds, 4, FeatureConfig(), num_workers=2,
+            cache_bytes=2 * 8000 * 4,  # room for ~2 half-second clips
+            backend="python",
+        )
+        list(loader)
+        assert loader._cache_used <= 2 * 8000 * 4
+
+    def test_abandoned_iterator_releases_producer(self, data_dir):
+        import threading
+
+        ds = CoughDataset(data_dir)
+        loader = BatchLoader(ds, 2, FeatureConfig(), num_workers=2, prefetch=1)
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)
+        it.close()  # consumer abandons mid-epoch
+        import time
+
+        time.sleep(1.0)
+        assert threading.active_count() <= before + 1
+
+    def test_fused_fallback_on_long_waves(self):
+        from cough_detector_tpu.ops import frontend
+        from cough_detector_tpu.ops.pallas.frontend_kernel import (
+            extract_features_fused,
+        )
+
+        cfg = FeatureConfig()
+        w = synth.fixture_batch(2, 2.0, seed=0)  # 32000 samples
+        fused = np.asarray(extract_features_fused(w, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(w, cfg))
+        assert fused.shape == ref.shape  # (2, 90, 201), no silent truncation
+        np.testing.assert_allclose(fused, ref, atol=1e-6)
+
+    def test_contrast_centroid_silence_guard(self):
+        from cough_detector_tpu.ops import frontend
+
+        cfg = FeatureConfig(use_spectral_contrast=True)
+        # Short burst center-padded: edge frames are digitally silent.
+        w = np.zeros((1, 16000), np.float32)
+        w[0, 7000:9400] = (
+            np.random.default_rng(0).standard_normal(2400).astype(np.float32)
+        )
+        feats = np.asarray(frontend.extract_features(w, cfg))
+        assert np.isfinite(feats).all()

@@ -177,7 +177,7 @@ class TestStreamSharding:
             windows_emitted=replicate(state.windows_emitted, mesh),
             history=jax.device_put(state.history, sh),
             history_len=replicate(state.history_len, mesh),
-            last_fire_time=jax.device_put(state.last_fire_time, sh),
+            last_fire_window=jax.device_put(state.last_fire_window, sh),
         )
         probs8 = []
         for c in chunks:
