@@ -273,3 +273,41 @@ class TestReviewFixes:
         )
         feats = np.asarray(frontend.extract_features(w, cfg))
         assert np.isfinite(feats).all()
+
+
+class TestWavFuzz:
+    def test_random_bytes_never_crash_differently(self):
+        """Arbitrary garbage must raise AudioDecodeError (or decode), never
+        segfault/IndexError — the loud-failure contract."""
+        rng = np.random.default_rng(0)
+        import tempfile, os
+
+        for i in range(50):
+            n = int(rng.integers(0, 2000))
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            if i % 3 == 0:  # make some look like RIFF headers
+                blob = b"RIFF" + blob
+            if i % 5 == 0:
+                blob = b"RIFF\x00\x00\x00\x00WAVE" + blob
+            fd, path = tempfile.mkstemp(suffix=".wav")
+            os.write(fd, blob)
+            os.close(fd)
+            try:
+                audio_io.read_wav(path)
+            except audio_io.AudioDecodeError:
+                pass
+            finally:
+                os.unlink(path)
+
+    def test_truncated_real_wav(self, tmp_path):
+        p = tmp_path / "t.wav"
+        audio_io.write_wav(p, synth.synthetic_cough(0, 1.0), 16000)
+        raw = p.read_bytes()
+        for cut in (10, 40, 44, 100, len(raw) - 7):
+            q = tmp_path / f"cut{cut}.wav"
+            q.write_bytes(raw[:cut])
+            try:
+                wave, sr = audio_io.read_wav(q)
+                assert wave.dtype == np.float32  # partial decode acceptable
+            except audio_io.AudioDecodeError:
+                pass
