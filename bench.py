@@ -10,8 +10,9 @@ CoughDetectorResidual logits, all inside one jit program on one chip.
 
 `--serving` runs the secondary multi-stream benchmark instead (BASELINE
 config 5): 256 concurrent audio streams ticked with 100 ms chunks through
-the jitted ring-buffer detector, reporting tick p50/p99 and the real-time
-stream capacity.
+the jitted ring-buffer detector, reporting the sustained (pipelined) tick
+time, the synchronous-tick p50 (host round-trip included), and the derived
+real-time stream capacity.
 """
 
 from __future__ import annotations
@@ -43,9 +44,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = 100) -> None:
         debounce_seconds=0.5,
     )
     audio = np.stack(
-        [synth.synthetic_cough(i, 2.0)[:chunk * n_ticks]
-         if len(synth.synthetic_cough(i, 2.0)) >= chunk * n_ticks
-         else np.resize(synth.synthetic_cough(i, 2.0), chunk * n_ticks)
+        [np.resize(synth.synthetic_cough(i, 2.0), chunk * n_ticks)
          for i in range(num_streams)]
     ).astype(np.float32)
 

@@ -127,13 +127,19 @@ def _behavioral_eval(args) -> None:
     fp_silence = run(silence) / args.minutes
 
     # Scenario 2: speech-like babble (target <1 FP/min, :321) — amplitude-
-    # modulated band-limited noise approximating speech rhythm.
-    t = np.arange(seconds * sr) / sr
-    envelope = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))  # ~3 Hz syllables
-    carrier = rng.standard_normal(seconds * sr)
+    # modulated band-limited noise approximating speech rhythm. Band-limit
+    # to ~4 kHz (speech band) by resampling down and back up.
     from ..data.audio_io import resample_np
 
-    speech = (envelope * carrier * 0.1).astype(np.float32)
+    t = np.arange(seconds * sr) / sr
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))  # ~3 Hz syllables
+    carrier = rng.standard_normal(seconds * sr).astype(np.float32)
+    band_limited = resample_np(
+        resample_np(carrier[None], sr, 8000), 8000, sr
+    )[0][: seconds * sr]
+    speech = (envelope[: len(band_limited)] * band_limited * 0.1).astype(
+        np.float32
+    )
     fp_speech = run(speech) / args.minutes
 
     # Scenario 3: coughs every ~5 s (target >80% detection, :322)

@@ -62,10 +62,16 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise AudioDecodeError(f"Missing fmt/data chunk: {path}")
+    if len(fmt) < 16:
+        raise AudioDecodeError(f"Truncated fmt chunk: {path}")
 
     (audio_fmt, n_ch, sr, _, _, bits) = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_fmt == 0xFFFE and len(fmt) >= 26:  # EXTENSIBLE: real fmt at +24
         audio_fmt = struct.unpack_from("<H", fmt, 24)[0]
+    if n_ch == 0 or sr == 0:
+        raise AudioDecodeError(
+            f"Invalid fmt (channels={n_ch}, sample_rate={sr}): {path}"
+        )
 
     if audio_fmt == 1:  # PCM
         if bits == 8:

@@ -293,8 +293,12 @@ class BatchLoader:
         )
         if self._cache_bytes > 0:
             with self._cache_lock:
-                self._cache[path] = clip
-                self._cache_used += clip.nbytes
+                # Re-check under the lock: duplicate indices (weighted
+                # sampling with replacement) decode concurrently, and a
+                # blind insert would double-count _cache_used forever.
+                if path not in self._cache:
+                    self._cache[path] = clip
+                    self._cache_used += clip.nbytes
                 while self._cache_used > self._cache_bytes and self._cache:
                     _, evicted = self._cache.popitem(last=False)
                     self._cache_used -= evicted.nbytes

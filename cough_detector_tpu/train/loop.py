@@ -201,9 +201,12 @@ def train(
         acc = EpochAccumulator()
         pending = []
         for waves, labels in _device_prefetch(train_loader):
-            rng, step_key = jax.random.split(rng)
+            # Independent keys for augmentation and dropout — passing one
+            # key both directly and through a split would correlate the two
+            # noise sources.
+            rng, aug_key, dropout_key = jax.random.split(rng, 3)
             state, m = train_step(
-                state, (waves, step_key), labels, step_key, class_weights,
+                state, (waves, aug_key), labels, dropout_key, class_weights,
             )
             pending.append(m)
         for m in jax.device_get(pending):

@@ -90,12 +90,20 @@ bool decode_wav(const std::string& path, Wav* out, std::string* err) {
     *err = "missing fmt/data chunk: " + path;
     return false;
   }
+  if (fmt_size < 16) {  // fields below read fmt[0..15]
+    *err = "truncated fmt chunk: " + path;
+    return false;
+  }
 
   uint16_t audio_fmt = rd_u16(fmt);
   uint16_t n_ch = rd_u16(fmt + 2);
   uint32_t sr = rd_u32(fmt + 4);
   uint16_t bits = rd_u16(fmt + 14);
   if (audio_fmt == 0xFFFE && fmt_size >= 26) audio_fmt = rd_u16(fmt + 24);
+  if (n_ch == 0 || sr == 0) {  // sr=0 would SIGFPE in resample()
+    *err = "invalid fmt (channels/sample_rate = 0): " + path;
+    return false;
+  }
 
   out->channels = n_ch;
   out->sample_rate = (int)sr;

@@ -311,3 +311,59 @@ class TestWavFuzz:
                 assert wave.dtype == np.float32  # partial decode acceptable
             except audio_io.AudioDecodeError:
                 pass
+
+
+class TestCraftedWavs:
+    def _wav(self, fmt_body: bytes, data: bytes = b"\x00\x00") -> bytes:
+        import struct
+
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        out += b"data" + struct.pack("<I", len(data)) + data
+        return out
+
+    def test_truncated_fmt_chunk(self, tmp_path):
+        p = tmp_path / "shortfmt.wav"
+        p.write_bytes(self._wav(b"\x01\x00"))  # 2-byte fmt body
+        with pytest.raises(audio_io.AudioDecodeError, match="fmt"):
+            audio_io.read_wav(p)
+
+    def test_zero_channels(self, tmp_path):
+        import struct
+
+        p = tmp_path / "zeroch.wav"
+        fmt = struct.pack("<HHIIHH", 1, 0, 16000, 32000, 2, 16)
+        p.write_bytes(self._wav(fmt))
+        with pytest.raises(audio_io.AudioDecodeError, match="channels"):
+            audio_io.read_wav(p)
+
+    def test_zero_sample_rate(self, tmp_path):
+        import struct
+
+        p = tmp_path / "zerosr.wav"
+        fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+        p.write_bytes(self._wav(fmt))
+        with pytest.raises(audio_io.AudioDecodeError):
+            audio_io.read_wav(p)
+
+    def test_native_loader_rejects_crafted(self, tmp_path):
+        import struct
+
+        from cough_detector_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("no toolchain")
+        cases = {
+            "shortfmt.wav": self._wav(b"\x01\x00"),
+            "zerosr.wav": self._wav(struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)),
+            "zeroch.wav": self._wav(struct.pack("<HHIIHH", 1, 0, 16000, 0, 2, 16)),
+        }
+        paths = []
+        for name, blob in cases.items():
+            p = tmp_path / name
+            p.write_bytes(blob)
+            paths.append(str(p))
+        # Must quarantine (n_ok=0), never SIGFPE/overflow the process.
+        waves, n_ok, errors = native_loader.load_batch(paths, 16000, 16000)
+        assert n_ok == 0
+        assert np.all(waves == 0)
