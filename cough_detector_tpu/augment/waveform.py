@@ -18,7 +18,6 @@ Chain order: shift → speed(noop) → volume → gaussian → file noise (249-2
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

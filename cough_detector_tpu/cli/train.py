@@ -4,7 +4,6 @@
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -10,7 +10,7 @@ persists the compiled executable so a server process can skip tracing.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

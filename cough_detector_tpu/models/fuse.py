@@ -14,7 +14,7 @@ so no second module definition is needed.
 from __future__ import annotations
 
 import copy
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import numpy as np
 

@@ -13,7 +13,7 @@ SURVEY.md §7 (hard part b).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

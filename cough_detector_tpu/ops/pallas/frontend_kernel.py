@@ -25,7 +25,6 @@ budget as the jnp reference path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, StreamConfig
-from ..models import create_model, init_model
+from ..models import create_model
 from ..ops import frontend
 from . import ring
 

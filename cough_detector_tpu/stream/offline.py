@@ -11,13 +11,13 @@ event semantics exactly.
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, StreamConfig
+from ..config import Config
 from ..models import create_model
 from ..ops import frontend
 

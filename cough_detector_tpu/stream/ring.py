@@ -25,13 +25,12 @@ datetime.now() (reference: src/inference.py:226).
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import FeatureConfig, StreamConfig
-from ..ops import frontend
 
 
 class StreamState(NamedTuple):

@@ -4,7 +4,7 @@ averages, matching the reference's manual confusion-matrix computation
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 
 class EpochAccumulator:
