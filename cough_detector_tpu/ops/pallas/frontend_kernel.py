@@ -102,6 +102,7 @@ def _kernel(
     n_mfcc: int,
     top_db: float,
     delta_delta: bool,
+    use_pcen: bool,
 ):
     # 1. Frame: time-major rows, one contiguous (B_TILE, n_fft) copy per t.
     for t in range(n_frames):
@@ -116,14 +117,34 @@ def _kernel(
     power = re * re + im * im  # (T*B, n_freqs)
     mel = _dot(power, fb_ref[:])  # (T*B, n_mels); positive sums — HIGHEST ok
 
-    # 4. Log-mel (shared by dB branch and MFCC branch).
+    # 4. Log-mel (shared by the dB branch and the MFCC branch).
     log_mel = _LOG10E_X10 * jnp.log(jnp.maximum(mel, _AMIN))
     lm3 = log_mel.reshape(n_frames, B_TILE, n_mels)
+    mel3 = mel.reshape(n_frames, B_TILE, n_mels)
 
-    # dB branch: clamp at per-clip max - top_db, then (db+80)/80 in [0,1].
-    clip_max = jnp.max(lm3, axis=(0, 2), keepdims=True)  # (1, B, 1)
-    db = jnp.maximum(lm3, clip_max - top_db)
-    mel_norm = jnp.clip((db + top_db) / top_db, 0.0, 1.0)  # (T, B, n_mels)
+    if use_pcen:
+        # PCEN (reference: src/preprocessing.py:305-340): avg_pool(1×10)
+        # stride 1 pad 5 (zeros counted) smoother — ten statically-shifted
+        # adds over a zero-extended time axis — then the compressive
+        # formula and a per-clip min-max to [0, 1].
+        zeros5 = jnp.zeros((5, B_TILE, n_mels), jnp.float32)
+        padded = jnp.concatenate([zeros5, mel3, zeros5], axis=0)
+        smooth = padded[0:n_frames]
+        for d in range(1, 10):
+            smooth = smooth + padded[d : d + n_frames]
+        smooth = smooth / 10.0
+        alpha, delta, r, eps = 0.98, 2.0, 0.5, 1e-6
+        pcen = (
+            mel3 / jnp.power(eps + smooth, alpha) + delta
+        ) ** r - delta**r
+        lo = jnp.min(pcen, axis=(0, 2), keepdims=True)
+        hi = jnp.max(pcen, axis=(0, 2), keepdims=True)
+        mel_norm = (pcen - lo) / (hi - lo + 1e-8)
+    else:
+        # dB branch: clamp at per-clip max - top_db, then (db+80)/80 in [0,1].
+        clip_max = jnp.max(lm3, axis=(0, 2), keepdims=True)  # (1, B, 1)
+        db = jnp.maximum(lm3, clip_max - top_db)
+        mel_norm = jnp.clip((db + top_db) / top_db, 0.0, 1.0)
 
     # 5. MFCC branch: DCT GEMM then per-clip unbiased z-norm.
     mfcc = _dot(log_mel, dct_ref[:]).reshape(n_frames, B_TILE, n_mfcc)
@@ -150,14 +171,10 @@ def _kernel(
 
 def _supported(cfg: FeatureConfig) -> bool:
     # Pre-emphasis applies outside the kernel (elementwise, fuses into the
-    # reflect pad); delta-delta is an extra in-kernel diff. PCEN (time
-    # cumsum) and spectral contrast (per-band sorts on the full spectrum)
-    # stay on the jnp path.
-    return (
-        cfg.use_mfcc
-        and not cfg.use_pcen
-        and not cfg.use_spectral_contrast
-    )
+    # reflect pad); delta-delta is an extra in-kernel diff; PCEN's smoother
+    # is ten statically-shifted adds. Only spectral contrast (per-band sorts
+    # on the full spectrum) stays on the jnp path.
+    return cfg.use_mfcc and not cfg.use_spectral_contrast
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -203,6 +220,7 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
         n_mfcc=cfg.n_mfcc,
         top_db=80.0,
         delta_delta=cfg.use_delta_delta,
+        use_pcen=cfg.use_pcen,
     )
     n_tiles = b // B_TILE
     const_spec = lambda shape: pl.BlockSpec(

@@ -51,7 +51,8 @@ class TestFusedKernel:
         np.testing.assert_allclose(out, full[:b], atol=1e-6)
 
     def test_unsupported_config_falls_back(self):
-        cfg = FeatureConfig(use_pcen=True)
+        # Spectral contrast stays on the jnp path (per-band sorts).
+        cfg = FeatureConfig(use_spectral_contrast=True)
         w = synth.fixture_batch(2, 1.0, seed=0)
         out = np.asarray(extract_features_fused(w, cfg, interpret=True))
         ref = np.asarray(frontend.extract_features(w, cfg))
@@ -117,6 +118,36 @@ class TestExtendedFlags:
         theirs = gold.extract_features(
             torch.from_numpy(cough_wave),
             use_pre_emphasis=True, use_delta_delta=True,
+        ).numpy()
+        err = np.abs(fused - theirs).max() / np.abs(theirs).max()
+        assert err < 1e-3, err
+
+
+class TestPCENInKernel:
+    def test_pcen_parity_vs_jnp(self):
+        # Realistic (non-degenerate) clips: PCEN's per-clip min-max on a
+        # digitally-silent or single-impulse clip normalizes pure float
+        # noise, where no two float32 implementations can agree (the
+        # reference has the same behavior).
+        cfg = FeatureConfig(use_pcen=True)
+        waves = np.stack(
+            [synth.synthetic_cough(i, 1.0) for i in range(4)]
+            + [synth.synthetic_non_cough(i, 1.0) for i in range(4)]
+        )
+        fused = np.asarray(extract_features_fused(waves, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(waves, cfg))
+        err = np.abs(fused - ref).max() / np.abs(ref).max()
+        assert err < 1e-3, err
+
+    def test_pcen_vs_golden(self, cough_wave):
+        cfg = FeatureConfig(use_pcen=True, use_pre_emphasis=True,
+                            use_delta_delta=True)
+        fused = np.asarray(
+            extract_features_fused(cough_wave[None], cfg, interpret=True)
+        )[0]
+        theirs = gold.extract_features(
+            torch.from_numpy(cough_wave),
+            use_pcen=True, use_pre_emphasis=True, use_delta_delta=True,
         ).numpy()
         err = np.abs(fused - theirs).max() / np.abs(theirs).max()
         assert err < 1e-3, err
