@@ -244,11 +244,10 @@ class BatchLoader:
         self._cache_lock = threading.Lock()
 
         # Native (C++) decode path: threaded WAV decode+resample without the
-        # GIL. "auto" uses it when the toolchain built it, every sample is a
-        # .wav, and no crop-time augmentation is requested (the native path
-        # center-fits in C++; shift augmentation needs the full clip).
+        # GIL (crop-time shift augmentation included). "auto" uses it when
+        # the toolchain built it and every sample is a .wav.
         self._native = False
-        if backend in ("auto", "native") and time_shift_prob == 0.0:
+        if backend in ("auto", "native"):
             all_wav = all(
                 p.lower().endswith(".wav") for p, _ in dataset.samples
             )
@@ -328,9 +327,11 @@ class BatchLoader:
         if self._native:
             from . import audio_io, native_loader
 
+            fracs = self._shifts_for(len(paths))
             waves, n_ok, errors = native_loader.load_batch(
                 paths, self.cfg.segment_samples, self.cfg.sample_rate,
                 n_threads=self.num_workers,
+                shift_fracs=fracs if np.any(fracs) else None,
             )
             if n_ok < len(paths):  # fail hard, like the python path
                 raise audio_io.AudioDecodeError(

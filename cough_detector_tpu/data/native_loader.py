@@ -55,10 +55,10 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         lib = ctypes.CDLL(str(path))
-        lib.cdt_load_batch.restype = ctypes.c_int
-        lib.cdt_load_batch.argtypes = [
+        lib.cdt_load_batch_shifted.restype = ctypes.c_int
+        lib.cdt_load_batch_shifted.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-            ctypes.c_long,
+            ctypes.c_long, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int,
         ]
@@ -81,12 +81,16 @@ def load_batch(
     segment_samples: int,
     target_sr: int = 16000,
     n_threads: int = 8,
+    shift_fracs: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, int, str]:
     """Decode+resample+center-fit a batch of WAV paths natively.
 
     Returns (waves (N, segment) float32, n_ok, error_summary). Failed clips
     are zero rows with their errors reported — quarantine-with-count, per
     the reference postmortem rule (reference: IMPROVEMENT_PLAN.md:13-29).
+    shift_fracs (optional, per clip) displaces each crop window by
+    round(frac * clip_len) samples — the crop-time time-shift augmentation,
+    same semantics as datasets._crop_window.
     """
     lib = _load()
     if lib is None:
@@ -98,8 +102,13 @@ def load_batch(
         *[str(p).encode() for p in paths]
     )
     errbuf = ctypes.create_string_buffer(4096)
-    n_ok = lib.cdt_load_batch(
-        c_paths, n, target_sr, segment_samples,
+    if shift_fracs is not None:
+        fr = np.ascontiguousarray(shift_fracs, dtype=np.float64)
+        fr_ptr = fr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        fr_ptr = ctypes.POINTER(ctypes.c_double)()
+    n_ok = lib.cdt_load_batch_shifted(
+        c_paths, n, target_sr, segment_samples, fr_ptr,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n_threads, errbuf, len(errbuf),
     )

@@ -14,6 +14,7 @@
 //
 // Build: g++ -O3 -fPIC -shared -pthread -o libcdt_loader.so cdt_loader.cpp
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -243,16 +244,23 @@ std::vector<float> resample(const std::vector<float>& x, long orig_sr,
   return out;
 }
 
-void center_fit(const std::vector<float>& x, float* dst, long segment) {
+// Center pad/trim with an optional window displacement: final[j] =
+// x[c + j - shift] iff both c+j and c+j-shift lie in [0, n), matching the
+// Python loader's _crop_window (reference shift-then-center-trim
+// semantics). Note: C++ '/' truncates toward zero while the Python side
+// uses floor division; flooring keeps odd (n - segment) cases identical.
+void center_fit(const std::vector<float>& x, float* dst, long segment,
+                long shift = 0) {
   long n = (long)x.size();
-  if (n >= segment) {
-    long start = (n - segment) / 2;
-    memcpy(dst, x.data() + start, segment * sizeof(float));
-  } else {
-    long pad = segment - n;
-    long left = pad / 2;
-    memset(dst, 0, segment * sizeof(float));
-    memcpy(dst + left, x.data(), n * sizeof(float));
+  long c = (n - segment) >= 0 ? (n - segment) / 2
+                              : -(((segment - n) + 1) / 2);  // floor div
+  memset(dst, 0, segment * sizeof(float));
+  long j_lo = std::max({-c, shift - c, 0L});
+  long j_hi = std::min({n - c, n - c + shift, segment});
+  if (j_hi > j_lo) {
+    long src = c - shift;
+    memcpy(dst + j_lo, x.data() + src + j_lo,
+           (j_hi - j_lo) * sizeof(float));
   }
 }
 
@@ -262,10 +270,13 @@ extern "C" {
 
 // Load n clips into out (n * segment_samples floats). Returns the number of
 // successfully loaded clips; failures leave a zero row and append the path
-// to errbuf (quarantine-with-count semantics).
-int cdt_load_batch(const char** paths, int n, int target_sr,
-                   long segment_samples, float* out, int n_threads,
-                   char* errbuf, int errbuf_len) {
+// to errbuf (quarantine-with-count semantics). shift_fracs (nullable,
+// length n) displaces each clip's crop window by round(frac * clip_len)
+// samples — the crop-time time-shift augmentation.
+int cdt_load_batch_shifted(const char** paths, int n, int target_sr,
+                           long segment_samples, const double* shift_fracs,
+                           float* out, int n_threads, char* errbuf,
+                           int errbuf_len) {
   std::atomic<int> next(0), ok(0);
   std::mutex err_mu;
   std::string errors;
@@ -287,7 +298,10 @@ int cdt_load_batch(const char** paths, int n, int target_sr,
       std::vector<float> mono = to_mono(w);
       if (w.sample_rate != target_sr)
         mono = resample(mono, w.sample_rate, target_sr);
-      center_fit(mono, dst, segment_samples);
+      long shift = 0;
+      if (shift_fracs != nullptr)
+        shift = (long)llround(shift_fracs[i] * (double)mono.size());
+      center_fit(mono, dst, segment_samples, shift);
       ok.fetch_add(1);
     }
   };
@@ -303,6 +317,14 @@ int cdt_load_batch(const char** paths, int n, int target_sr,
     errbuf[errbuf_len - 1] = '\0';
   }
   return ok.load();
+}
+
+// Backwards-compatible entry without shifts.
+int cdt_load_batch(const char** paths, int n, int target_sr,
+                   long segment_samples, float* out, int n_threads,
+                   char* errbuf, int errbuf_len) {
+  return cdt_load_batch_shifted(paths, n, target_sr, segment_samples,
+                                nullptr, out, n_threads, errbuf, errbuf_len);
 }
 
 // Single-file decode+resample to mono. Returns sample count or -1.

@@ -83,3 +83,30 @@ class TestNativeLoader:
         loader = BatchLoader(ds, 1, FeatureConfig(), backend="native")
         with pytest.raises(audio_io.AudioDecodeError):
             list(loader)
+
+
+class TestNativeShift:
+    def test_shifted_crop_matches_python(self, wav_dir):
+        from cough_detector_tpu.data.datasets import _crop_window
+
+        _, paths = wav_dir
+        fracs = np.linspace(-0.2, 0.2, len(paths))
+        waves, n_ok, errors = native_loader.load_batch(
+            paths, 16000, 16000, shift_fracs=fracs
+        )
+        assert n_ok == len(paths), errors
+        for row, p, frac in zip(waves, paths, fracs):
+            clip = audio_io.load_mono_16k(p, 16000)
+            shift = int(round(frac * clip.shape[0]))
+            want = _crop_window(clip, 16000, shift)
+            np.testing.assert_allclose(row, want, atol=2e-5)
+
+    def test_loader_native_with_shift_matches_python(self, wav_dir):
+        d, _ = wav_dir
+        ds = CoughDataset(str(d))
+        kw = dict(time_shift_limit=0.2, time_shift_prob=1.0, seed=9)
+        native = BatchLoader(ds, 3, FeatureConfig(), backend="native", **kw)
+        python = BatchLoader(ds, 3, FeatureConfig(), backend="python", **kw)
+        for (wn, ln), (wp, lp) in zip(native, python):
+            np.testing.assert_array_equal(ln, lp)
+            np.testing.assert_allclose(wn, wp, atol=2e-5)
