@@ -239,3 +239,38 @@ class TestEndToEnd:
         lines = (out / "metrics.jsonl").read_text().strip().splitlines()
         epochs = [json.loads(l)["epoch"] for l in lines]
         assert epochs == [0, 1]
+
+
+class TestESC50TrainingBranch:
+    def test_train_with_esc50_and_custom(self, synthetic_data_dir, tmp_path):
+        """Exercises the reference's combined-dataset assembly: custom dir
+        split + ESC-50 fold-5 validation (reference: src/train.py:332-392)."""
+        import pandas as pd
+
+        from cough_detector_tpu.train import train
+
+        esc50 = tmp_path / "esc50"
+        (esc50 / "audio").mkdir(parents=True)
+        (esc50 / "meta").mkdir()
+        rows = []
+        for i in range(10):
+            target = 24 if i % 3 == 0 else 22
+            fold = 5 if i % 2 == 0 else 1
+            name = f"e{i}.wav"
+            gen = synth.synthetic_cough if target == 24 else synth.synthetic_non_cough
+            write_wav(esc50 / "audio" / name, gen(seed=i, duration_s=1.0), 16000)
+            rows.append({"filename": name, "fold": fold, "target": target})
+        pd.DataFrame(rows).to_csv(esc50 / "meta" / "esc50.csv", index=False)
+
+        cfg = Config(
+            model=Config().model.__class__(model_type="small"),
+            train=TrainConfig(batch_size=4, epochs=1, patience=5),
+        )
+        out = tmp_path / "run"
+        train(
+            synthetic_data_dir, str(out), config=cfg, num_workers=2,
+            use_esc50=True, esc50_dir=str(esc50),
+        )
+        assert (out / "metrics.jsonl").exists()
+        rec = json.loads((out / "metrics.jsonl").read_text().splitlines()[-1])
+        assert np.isfinite(rec["val_loss"])
