@@ -34,8 +34,9 @@ from ...config import FeatureConfig
 from .. import filters
 
 # Clips per kernel program (sublane-aligned: Mosaic requires the block's
-# second-to-last dim be a multiple of 8).
-B_TILE = 8
+# second-to-last dim be a multiple of 8). 16 measures ~2% faster than 8 on
+# v5e with the band-limited DFT (601k vs 588k clips/s) and still fits VMEM.
+B_TILE = 16
 
 # DFT matmul precision. Measured on v5e against the torch golden
 # (batch 2048, full feature stack):
