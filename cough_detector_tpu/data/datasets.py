@@ -232,7 +232,12 @@ class BatchLoader:
         # time_shift would only see the pre-cropped 1 s window.
         self.time_shift_limit = time_shift_limit
         self.time_shift_prob = time_shift_prob
-        self._rng = np.random.default_rng(seed)
+        # Epoch-keyed RNG: sample order and crop-shift draws for epoch k
+        # depend only on (seed, k), never on how many epochs ran before —
+        # so a resumed run replays the identical sample/augmentation stream
+        # (the reference's mutating-RNG resume nondeterminism, fixed).
+        self._seed = seed
+        self._epoch = 0
         # Bounded LRU over full decoded clips (cache_bytes=0 disables).
         import collections
 
@@ -271,14 +276,23 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _epoch_order(self) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch the next iteration draws its order/shifts for.
+        Called by the train loop each epoch; resume at epoch k then replays
+        exactly the order an uninterrupted run saw at epoch k."""
+        self._epoch = int(epoch)
+
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng([self._seed, self._epoch])
+
+    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
         n = len(self.dataset)
         if self.weighted:
             w = self.dataset.sample_weights
-            return self._rng.choice(n, size=n, replace=True, p=w / w.sum())
+            return rng.choice(n, size=n, replace=True, p=w / w.sum())
         idx = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            rng.shuffle(idx)
         return idx
 
     def _load_full(self, path: str) -> np.ndarray:
@@ -308,18 +322,20 @@ class BatchLoader:
             self._load_full(path), self.cfg.segment_samples, shift
         )
 
-    def _shifts_for(self, n: int) -> np.ndarray:
+    def _shifts_for(self, n: int, rng: np.random.Generator) -> np.ndarray:
         if self.time_shift_prob <= 0.0 or self.time_shift_limit <= 0.0:
             return np.zeros(n)
-        apply = self._rng.uniform(size=n) <= self.time_shift_prob
+        apply = rng.uniform(size=n) <= self.time_shift_prob
         # Shift magnitude is relative to each clip's FULL length (reference
         # semantics); resolved per clip at crop time via the limit fraction.
-        frac = self._rng.uniform(
+        frac = rng.uniform(
             -self.time_shift_limit, self.time_shift_limit, size=n
         )
         return np.where(apply, frac, 0.0)
 
-    def _make_batch(self, idxs: np.ndarray, pool) -> Tuple[np.ndarray, np.ndarray]:
+    def _make_batch(
+        self, idxs: np.ndarray, pool, rng: np.random.Generator
+    ) -> Tuple[np.ndarray, np.ndarray]:
         paths = [self.dataset.samples[i][0] for i in idxs]
         labels = np.asarray(
             [self.dataset.samples[i][1] for i in idxs], np.int32
@@ -327,7 +343,7 @@ class BatchLoader:
         if self._native:
             from . import audio_io, native_loader
 
-            fracs = self._shifts_for(len(paths))
+            fracs = self._shifts_for(len(paths), rng)
             waves, n_ok, errors = native_loader.load_batch(
                 paths, self.cfg.segment_samples, self.cfg.sample_rate,
                 n_threads=self.num_workers,
@@ -338,7 +354,7 @@ class BatchLoader:
                     f"{len(paths) - n_ok} clip(s) failed to decode: {errors}"
                 )
             return waves, labels
-        fracs = self._shifts_for(len(paths))
+        fracs = self._shifts_for(len(paths), rng)
 
         def load_one(args):
             path, frac = args
@@ -350,7 +366,8 @@ class BatchLoader:
         return waves, labels
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        order = self._epoch_order()
+        rng = self._epoch_rng()
+        order = self._epoch_order(rng)
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -374,7 +391,7 @@ class BatchLoader:
                 try:
                     for b in range(n_batches):
                         idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        if not put(self._make_batch(idxs, pool)):
+                        if not put(self._make_batch(idxs, pool, rng)):
                             return
                 except BaseException as e:  # surface decode errors, never hang
                     put(e)
@@ -396,6 +413,9 @@ class BatchLoader:
             # producer so its thread pool and prefetched batches don't leak.
             abandoned.set()
             thread.join(timeout=5.0)
+            # Auto-advance so callers that never set_epoch still see a fresh
+            # order each pass; the train loop pins via set_epoch regardless.
+            self._epoch += 1
 
 
 def create_data_loaders(

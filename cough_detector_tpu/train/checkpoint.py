@@ -57,7 +57,12 @@ def save_checkpoint(
     meta = {
         "epoch": int(epoch),
         "metrics": {k: float(v) for k, v in metrics.items()},
+        # Flat dict: reference .pt key compatibility. Full nested config:
+        # OUR source of truth — carries StreamConfig, compute_dtype, dropout
+        # and everything else the flat form cannot express, so serving
+        # reconstructs the complete setup from the checkpoint alone.
         "config": config.to_flat_dict(),
+        "config_full": json.loads(config.to_json()),
     }
     (base / "meta.json").write_text(json.dumps(meta, indent=2))
     return str(base)
@@ -83,12 +88,11 @@ def load_checkpoint(
     else:
         tree = ckptr.restore((base / "state").absolute())
 
-    return (
-        tree,
-        meta["epoch"],
-        meta["metrics"],
-        Config.from_flat_dict(meta["config"]),
-    )
+    if "config_full" in meta:
+        config = Config.from_json(json.dumps(meta["config_full"]))
+    else:  # older checkpoints carry only the reference-compatible flat dict
+        config = Config.from_flat_dict(meta["config"])
+    return tree, meta["epoch"], meta["metrics"], config
 
 
 def restore_into_state(state: Any, tree: Dict[str, Any]) -> Any:

@@ -35,24 +35,55 @@ from ..data.datasets import (
 )
 from ..models import count_parameters, create_model, init_model
 from ..ops import frontend
+from ..parallel import batch_sharding, make_mesh, replicate
 from . import checkpoint as ckpt
 from . import steps
 from .metrics import EarlyStopping, EpochAccumulator
 
 
-def _device_prefetch(loader):
+def _device_prefetch(loader, put=jax.device_put):
     """Async-transfer each batch one step ahead of compute: jax.device_put
     is non-blocking, so the next batch's H2D copy overlaps the current
     step's execution (the loader's decode threads already overlap I/O)."""
     it = iter(loader)
     try:
-        nxt = jax.device_put(next(it))
+        nxt = put(next(it))
     except StopIteration:
         return
     for batch in it:
-        cur, nxt = nxt, jax.device_put(batch)
+        cur, nxt = nxt, put(batch)
         yield cur
     yield nxt
+
+
+def _make_batch_put(mesh, pad_to: Optional[int] = None):
+    """Host batch (waves, labels) → device (waves, labels, mask).
+
+    Pads the batch axis up to `pad_to` (static shapes: one compile for full
+    and tail batches alike, and mesh-divisible under data parallelism) and
+    lays the batch axis out over the mesh's data axis. mask=None marks an
+    unpadded batch — the steps skip masking work entirely."""
+    data_sh = batch_sharding(mesh) if mesh is not None else None
+
+    def put(batch):
+        waves, labels = batch
+        n = waves.shape[0]
+        mask = None
+        if pad_to is not None and n < pad_to:
+            pad = pad_to - n
+            waves = np.pad(waves, ((0, pad), (0, 0)))
+            labels = np.pad(labels, (0, pad))
+            mask = np.zeros(pad_to, np.float32)
+            mask[:n] = 1.0
+        if data_sh is None:
+            return jax.device_put((waves, labels, mask))
+        return (
+            jax.device_put(waves, data_sh),
+            jax.device_put(labels, data_sh),
+            None if mask is None else jax.device_put(mask, data_sh),
+        )
+
+    return put
 
 
 def _build_datasets(
@@ -96,13 +127,28 @@ def train(
     num_workers: int = 8,
     noise_bank: Optional[np.ndarray] = None,
     max_epochs: Optional[int] = None,
+    mesh=None,
 ) -> str:
-    """Train a model; returns the best-checkpoint path."""
+    """Train a model; returns the best-checkpoint path.
+
+    Data parallelism is the production default: with more than one visible
+    device (or an explicit `mesh`) the batch axis is sharded over the mesh's
+    data axis, state is replicated, and XLA inserts the gradient psum over
+    ICI (SURVEY.md §2.9) — the same step code runs on 1 chip, N chips, or
+    the virtual CPU mesh. Pass mesh=False to force single-device."""
     config = config or Config()
     fcfg, tcfg = config.features, config.train
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     (out / "config.json").write_text(config.to_json())
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is False:
+        mesh = None
+    n_shards = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
+        print(f"Data-parallel over {n_shards} devices: {mesh}")
 
     train_ds, val_ds = _build_datasets(data_dir, use_esc50, esc50_dir)
     print(f"Total train {len(train_ds)}, val {len(val_ds)}")
@@ -166,12 +212,24 @@ def train(
     train_step = steps.make_train_step(feature_fn=train_features)
     eval_step = steps.make_eval_step(feature_fn=eval_features)
 
+    # Static batch geometry: train batches (drop_last) pad only up to mesh
+    # divisibility; eval batches all pad to one fixed shape, so the tail
+    # batch neither recompiles nor takes a separate code path.
+    train_pad = -(-tcfg.batch_size // n_shards) * n_shards
+    put_train = _make_batch_put(
+        mesh, train_pad if train_pad != tcfg.batch_size else None
+    )
+    put_eval = _make_batch_put(mesh, train_pad)
+
     early = EarlyStopping(tcfg.patience, tcfg.early_stop_min_delta)
-    start_epoch, best_f1 = 0, 0.0
+    # -1 (not the reference's 0.0, src/train.py:463): a fresh run always
+    # writes best_model at epoch 0 — with F1 stuck at 0 the reference ends
+    # with NO best checkpoint and every downstream consumer breaks.
+    start_epoch, best_f1 = 0, -1.0
     if resume and Path(resume).exists():
         tree, epoch, metrics, _ = ckpt.load_checkpoint(resume, state)
         state = ckpt.restore_into_state(state, tree)
-        best_f1 = metrics.get("f1", 0.0)
+        best_f1 = metrics.get("f1", -1.0)
         start_epoch = epoch + 1
         # Resuming from latest_model must not let a worse model overwrite
         # the standing best: best_f1 is the max over the resumed metrics and
@@ -187,7 +245,11 @@ def train(
     # rbg PRNG: threefry costs ~18 ms per (512, 16000) normal draw on v5e;
     # the hardware-backed rbg generator is ~100x faster and plenty for
     # augmentation randomness.
-    rng = jax.random.key(tcfg.seed + 1, impl="rbg")
+    base_rng = jax.random.key(tcfg.seed + 1, impl="rbg")
+    if mesh is not None:
+        state = replicate(state, mesh)
+        class_weights = replicate(class_weights, mesh)
+        base_rng = replicate(base_rng, mesh)
     metrics_log = (out / "metrics.jsonl").open("a")
     epochs = max_epochs if max_epochs is not None else tcfg.epochs
     best_path = str(out / "best_model")
@@ -200,13 +262,19 @@ def train(
         t0 = time.perf_counter()
         acc = EpochAccumulator()
         pending = []
-        for waves, labels in _device_prefetch(train_loader):
+        # Epoch-keyed randomness (device AND loader): epoch k's augmentation
+        # stream and sample order depend only on (seed, k), so resume
+        # replays the exact stream an uninterrupted run saw.
+        rng = jax.random.fold_in(base_rng, epoch)
+        train_loader.set_epoch(epoch)
+        for waves, labels, m_mask in _device_prefetch(train_loader, put_train):
             # Independent keys for augmentation and dropout — passing one
             # key both directly and through a split would correlate the two
             # noise sources.
             rng, aug_key, dropout_key = jax.random.split(rng, 3)
             state, m = train_step(
                 state, (waves, aug_key), labels, dropout_key, class_weights,
+                mask=m_mask,
             )
             pending.append(m)
         for m in jax.device_get(pending):
@@ -218,8 +286,8 @@ def train(
         t0 = time.perf_counter()
         vacc = EpochAccumulator()
         pending = [
-            eval_step(state, waves, labels, class_weights)
-            for waves, labels in _device_prefetch(val_loader)
+            eval_step(state, waves, labels, class_weights, mask=m_mask)
+            for waves, labels, m_mask in _device_prefetch(val_loader, put_eval)
         ]
         for m in jax.device_get(pending):
             vacc.update(m)

@@ -42,15 +42,24 @@ def weighted_cross_entropy(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     class_weights: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch CrossEntropyLoss(weight=w) semantics:
-    sum_i w[y_i] * nll_i / sum_i w[y_i] (reference: src/train.py:441)."""
+    sum_i w[y_i] * nll_i / sum_i w[y_i] (reference: src/train.py:441).
+
+    `mask` (float/bool, shape (B,)) zeroes padded rows so batches padded to
+    a static shape — mesh-divisible training batches, fixed-size eval tails —
+    produce exactly the unpadded loss."""
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
-    if class_weights is None:
-        return jnp.mean(nll)
-    w = class_weights[labels]
-    return jnp.sum(w * nll) / jnp.sum(w)
+    w = (
+        jnp.ones_like(nll)
+        if class_weights is None
+        else class_weights[labels]
+    )
+    if mask is not None:
+        w = w * mask.astype(w.dtype)
+    return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
 def compute_class_weights(
@@ -109,11 +118,16 @@ def train_step(
     rng: jax.Array,
     class_weights: jnp.ndarray,
     feature_fn: Optional[Callable] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. If `feature_fn` is given, inputs are raw
     waveforms featurized on-device inside the same jit program — the fused
     replacement for the reference's CPU DataLoader feature extraction
-    (reference: src/dataset.py:121-173)."""
+    (reference: src/dataset.py:121-173).
+
+    `mask` excludes rows padded for mesh divisibility from the loss and
+    metrics. (BatchNorm running stats still see padded rows; with
+    drop_last batches the pad fraction is 0 in practice.)"""
     feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
 
     def loss_fn(params):
@@ -124,7 +138,7 @@ def train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        loss = weighted_cross_entropy(logits, labels, class_weights)
+        loss = weighted_cross_entropy(logits, labels, class_weights, mask)
         return loss, (logits, mutated["batch_stats"])
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -136,11 +150,15 @@ def train_step(
     )
     new_params = optax.apply_updates(state.params, updates)
 
-    metrics = {
-        "loss": loss,
-        "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
-        "count": jnp.asarray(labels.shape[0], jnp.int32),
-    }
+    hit = (jnp.argmax(logits, -1) == labels).astype(jnp.int32)
+    if mask is None:
+        correct = jnp.sum(hit)
+        count = jnp.asarray(labels.shape[0], jnp.int32)
+    else:
+        m = mask.astype(jnp.int32)
+        correct = jnp.sum(hit * m)
+        count = jnp.sum(m)
+    metrics = {"loss": loss, "correct": correct, "count": count}
     return (
         state.replace(
             step=state.step + 1,
@@ -158,21 +176,31 @@ def eval_step(
     labels: jnp.ndarray,
     class_weights: jnp.ndarray,
     feature_fn: Optional[Callable] = None,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Loss + confusion counts for the cough class, entirely on device
-    (reference: src/train.py:114-180)."""
+    (reference: src/train.py:114-180).
+
+    `mask` excludes rows padded to keep eval batches at one static shape
+    (no tail-batch recompile, mesh-divisible under DP) — the single code
+    path for full and partial batches."""
     feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
     logits = state.apply_fn(state.variables, feats, train=False)
-    loss = weighted_cross_entropy(logits, labels, class_weights)
+    loss = weighted_cross_entropy(logits, labels, class_weights, mask)
     preds = jnp.argmax(logits, -1)
+    m = (
+        jnp.ones_like(labels)
+        if mask is None
+        else mask.astype(labels.dtype)
+    )
     return {
         "loss": loss,
-        "correct": jnp.sum(preds == labels),
-        "count": jnp.asarray(labels.shape[0], jnp.int32),
-        "tp": jnp.sum((preds == 1) & (labels == 1)),
-        "fp": jnp.sum((preds == 1) & (labels == 0)),
-        "fn": jnp.sum((preds == 0) & (labels == 1)),
-        "tn": jnp.sum((preds == 0) & (labels == 0)),
+        "correct": jnp.sum((preds == labels) * m),
+        "count": jnp.sum(m).astype(jnp.int32),
+        "tp": jnp.sum((preds == 1) & (labels == 1) & (m > 0)),
+        "fp": jnp.sum((preds == 1) & (labels == 0) & (m > 0)),
+        "fn": jnp.sum((preds == 0) & (labels == 1) & (m > 0)),
+        "tn": jnp.sum((preds == 0) & (labels == 0) & (m > 0)),
     }
 
 
