@@ -61,6 +61,15 @@ def main(argv=None) -> None:
         dataset, args.batch_size, cfg, num_workers=args.num_workers
     )
 
+    # Ingest-at-scale sharding (SURVEY.md §2.9): with N devices the batch
+    # axis splits over the mesh — each chip featurizes its shard, no
+    # collectives needed (features are per-clip).
+    from ..parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    n_dev = mesh.devices.size if mesh is not None else 1
+    data_sh = batch_sharding(mesh) if mesh is not None else None
+
     @jax.jit
     def featurize(waves, key):
         waves = frontend.peak_normalize(waves)
@@ -74,10 +83,18 @@ def main(argv=None) -> None:
     n = 0
     for waves, labels in loader:
         key, sub = jax.random.split(key)
-        f = featurize(jnp.asarray(waves), sub)
-        feats_out.append(np.asarray(f))
+        real = waves.shape[0]
+        pad = (-real) % n_dev
+        if pad:
+            waves = np.pad(waves, ((0, pad), (0, 0)))
+        dev_waves = (
+            jax.device_put(waves, data_sh) if mesh is not None
+            else jnp.asarray(waves)
+        )
+        f = featurize(dev_waves, sub)
+        feats_out.append(np.asarray(f)[:real])
         labels_out.append(labels)
-        n += waves.shape[0]
+        n += real
     dt = time.perf_counter() - t0
 
     features = np.concatenate(feats_out)
@@ -95,6 +112,7 @@ def main(argv=None) -> None:
                 "feature_shape": list(features.shape[1:]),
                 "seconds": round(dt, 3),
                 "clips_per_sec": round(n / dt, 1),
+                "devices": n_dev,
                 "output": args.output,
             }
         )

@@ -7,6 +7,8 @@ from .mesh import (
     replicate,
     replicated,
     shard_batch,
+    shard_streams,
+    stream_sharding,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_streams",
+    "stream_sharding",
 ]

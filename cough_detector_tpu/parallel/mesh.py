@@ -51,6 +51,29 @@ def replicate(tree: Any, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def stream_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:
+    """Shard the leading stream axis of serving-side arrays. The axis name
+    defaults to the mesh's own first axis, so a 'data' training mesh can be
+    reused for serving."""
+    return NamedSharding(mesh, P(axis or mesh.axis_names[0]))
+
+
+def shard_streams(
+    tree: Any, mesh: Mesh, num_streams: int, axis: Optional[str] = None
+):
+    """Lay a serving state pytree out over the mesh: leaves whose leading
+    axis is the stream axis are sharded on it, scalars (shared counters like
+    fill/windows_emitted, which advance in lockstep) are replicated."""
+    data_sh = stream_sharding(mesh, axis)
+    rep_sh = NamedSharding(mesh, P())
+
+    def put(x):
+        leading = getattr(x, "ndim", 0) >= 1 and x.shape[0] == num_streams
+        return jax.device_put(x, data_sh if leading else rep_sh)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def pad_to_multiple(arr: np.ndarray, multiple: int, axis: int = 0):
     """Pad the batch axis up to a device-count multiple (static shapes for
     jit); returns (padded, original_len)."""

@@ -24,6 +24,7 @@ import numpy as np
 from ..config import Config, StreamConfig
 from ..models import create_model
 from ..ops import frontend
+from ..parallel import make_mesh, shard_streams, stream_sharding
 from . import ring
 
 
@@ -71,11 +72,28 @@ class StreamingDetector:
         smoothing_window: int = 3,
         debounce_seconds: float = 0.5,
         hop_duration: float = 0.25,
+        mesh=None,
     ):
+        """`mesh` lays the stream axis out across chips (SURVEY.md §2.9):
+        None auto-builds a mesh over all local devices when num_streams
+        divides evenly; False forces single-device; or pass an explicit
+        jax.sharding.Mesh. Model params replicate, per-stream state shards,
+        and the tick stays one SPMD program — serving capacity scales
+        linearly with chips."""
         if model_path is not None:
             variables, config = _load_any_checkpoint(model_path)
         elif variables is None or config is None:
             raise ValueError("Provide model_path or (variables, config)")
+
+        if mesh is None and len(jax.devices()) > 1 and (
+            num_streams % len(jax.devices()) == 0
+        ):
+            mesh = make_mesh(axis="stream")
+        if mesh is False or (
+            mesh is not None and num_streams % mesh.devices.size != 0
+        ):
+            mesh = None
+        self.mesh = mesh
 
         self.config = config
         self.stream_config = StreamConfig(
@@ -94,6 +112,10 @@ class StreamingDetector:
 
         model = create_model(config.model.model_type)
         self._variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self._variables = replicate(self._variables, mesh)
         fcfg = config.features
 
         def score_fn(windows: jnp.ndarray) -> jnp.ndarray:
@@ -118,6 +140,10 @@ class StreamingDetector:
             self.window_samples,
             self.stream_config.smoothing_window,
         )
+        if self.mesh is not None:
+            self._state = shard_streams(
+                self._state, self.mesh, self.num_streams
+            )
         self._pending = np.zeros((self.num_streams, 0), np.float32)
 
     def process_chunk(self, chunk: np.ndarray) -> List[Detection]:
@@ -137,7 +163,13 @@ class StreamingDetector:
         while self._pending.shape[1] >= self.chunk_size:
             tick = self._pending[:, : self.chunk_size]
             self._pending = self._pending[:, self.chunk_size :]
-            self._state, events = self._step(self._state, jnp.asarray(tick))
+            if self.mesh is not None:
+                tick_dev = jax.device_put(
+                    tick, stream_sharding(self.mesh)
+                )
+            else:
+                tick_dev = jnp.asarray(tick)
+            self._state, events = self._step(self._state, tick_dev)
             fired = np.asarray(events["fired"])
             valid = np.asarray(events["valid"])
             smoothed = np.asarray(events["smoothed"])

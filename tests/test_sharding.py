@@ -141,48 +141,63 @@ class TestDPTrainStep:
 
 
 class TestStreamSharding:
-    def test_stream_axis_shards_across_devices(self, mesh):
-        """BASELINE config 5 at scale: the serving stream axis shards over
-        the mesh; the tick runs unchanged and matches single-device."""
-        from cough_detector_tpu.config import StreamConfig
-        from cough_detector_tpu.stream import ring
+    """BASELINE config 5 at scale: the serving stream axis shards over the
+    mesh THROUGH the public StreamingDetector API (VERDICT r1 §next-3)."""
 
-        def score_fn(windows):
-            return jnp.mean(windows, axis=1)
+    @pytest.fixture(scope="class")
+    def detector_setup(self):
+        cfg = default_config("small")
+        model = create_model("small")
+        variables = init_model(
+            model, jax.random.PRNGKey(0), cfg.features.feature_shape
+        )
+        return variables, cfg
 
-        scfg = StreamConfig(confidence_threshold=2.0)
-        step = ring.make_stream_step(score_fn, FeatureConfig(), scfg, 4000)
-
-        n_streams = 16
-        chunks = [
-            jnp.asarray(
-                np.random.default_rng(t).standard_normal((n_streams, 4000)).astype(np.float32)
+    def _detections(self, det, n_streams, seconds=3):
+        rng = np.random.default_rng(7)
+        out = []
+        for _ in range(seconds * 2):
+            chunk = (rng.standard_normal((n_streams, 8000)) * 0.5).astype(
+                np.float32
             )
-            for t in range(6)
-        ]
-        # single device (the step donates its state — build fresh ones
-        # for each section)
-        s1 = ring.init_state(n_streams, 4000, 16000, 3)
-        probs1 = []
-        for c in chunks:
-            s1, ev = step(s1, c)
-            probs1.append(np.asarray(ev["probs"]))
+            out.extend(det.process_chunk(chunk))
+        return out
 
-        # sharded over the stream axis
-        sh = batch_sharding(mesh)
-        state = ring.init_state(n_streams, 4000, 16000, 3)
-        s8 = ring.StreamState(
-            buffer=jax.device_put(state.buffer, sh),
-            fill=replicate(state.fill, mesh),
-            windows_emitted=replicate(state.windows_emitted, mesh),
-            history=jax.device_put(state.history, sh),
-            history_len=replicate(state.history_len, mesh),
-            last_fire_window=jax.device_put(state.last_fire_window, sh),
+    def test_detector_mesh_matches_single_device(self, mesh, detector_setup):
+        from cough_detector_tpu.stream import StreamingDetector
+
+        variables, cfg = detector_setup
+        n_streams = 16
+        kw = dict(
+            variables=variables, config=cfg, num_streams=n_streams,
+            chunk_size=8000, confidence_threshold=0.0, smoothing_window=3,
+            debounce_seconds=0.5,
         )
-        probs8 = []
-        for c in chunks:
-            s8, ev = step(s8, jax.device_put(c, sh))
-            probs8.append(np.asarray(ev["probs"]))
-        np.testing.assert_allclose(
-            np.stack(probs1), np.stack(probs8), rtol=1e-5, atol=1e-6
-        )
+        det1 = StreamingDetector(mesh=False, **kw)
+        det8 = StreamingDetector(mesh=mesh, **kw)
+
+        # State really lives across all 8 devices, laid out on the stream axis.
+        assert len(det8._state.buffer.sharding.device_set) == N_DEV
+        assert len(det8._state.last_fire_window.sharding.device_set) == N_DEV
+
+        d1 = self._detections(det1, n_streams)
+        d8 = self._detections(det8, n_streams)
+        assert len(d1) > 0, "threshold 0 must fire"
+        assert len(d1) == len(d8)
+        for a, b in zip(d1, d8):
+            assert a.stream == b.stream
+            assert a.time_seconds == b.time_seconds
+            np.testing.assert_allclose(a.confidence, b.confidence, rtol=1e-5)
+
+    def test_detector_auto_mesh_on_divisible_streams(self, detector_setup):
+        """mesh=None auto-builds a stream mesh when num_streams divides the
+        device count; indivisible counts fall back to single-device."""
+        from cough_detector_tpu.stream import StreamingDetector
+
+        variables, cfg = detector_setup
+        kw = dict(variables=variables, config=cfg, chunk_size=4000)
+        auto = StreamingDetector(num_streams=8, **kw)
+        assert auto.mesh is not None
+        assert len(auto._state.buffer.sharding.device_set) == len(jax.devices())
+        odd = StreamingDetector(num_streams=3, **kw)
+        assert odd.mesh is None
