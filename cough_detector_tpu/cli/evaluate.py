@@ -60,46 +60,32 @@ def _dataset_eval(args) -> None:
     fcfg = config.features
 
     @jax.jit
-    def step(feats_waves, labels):
+    def step(waves, labels, mask):
         return eval_step(
-            state, feats_waves, labels, jnp.asarray([1.0, 1.0]),
+            state, waves, labels, jnp.asarray([1.0, 1.0]),
             feature_fn=lambda w: frontend.extract_features_fast(
                 frontend.peak_normalize(w), fcfg
             ),
+            mask=mask,
         )
 
+    # One jitted code path for full and tail batches: every batch is padded
+    # to the compiled shape and the mask keeps padded rows out of loss and
+    # counts (steps.eval_step) — no eager re-implementation to drift.
     acc = EpochAccumulator()
     for waves, labels in loader:
-        # Pad the tail batch to the compiled shape.
         n = waves.shape[0]
+        mask = np.zeros(args.batch_size, np.float32)
+        mask[:n] = 1.0
         if n < args.batch_size:
-            # Tail batch: recompute everything (loss included) on the real
-            # rows only — padding with silent/label-0 rows would bias the
-            # reported loss.
-            from ..train.steps import weighted_cross_entropy
-
-            feats = frontend.extract_features_fast(
-                frontend.peak_normalize(jnp.asarray(waves)), fcfg
+            pad = args.batch_size - n
+            waves = np.pad(waves, ((0, pad), (0, 0)))
+            labels = np.pad(labels, (0, pad))
+        acc.update(
+            jax.device_get(
+                step(jnp.asarray(waves), jnp.asarray(labels), jnp.asarray(mask))
             )
-            logits = model.apply(variables, feats, train=False)
-            preds = np.asarray(jnp.argmax(logits, -1))
-            loss = float(
-                weighted_cross_entropy(
-                    logits, jnp.asarray(labels), jnp.asarray([1.0, 1.0])
-                )
-            )
-            m = {
-                "loss": loss,
-                "correct": int((preds == labels).sum()),
-                "count": n,
-                "tp": int(((preds == 1) & (labels == 1)).sum()),
-                "fp": int(((preds == 1) & (labels == 0)).sum()),
-                "fn": int(((preds == 0) & (labels == 1)).sum()),
-                "tn": int(((preds == 0) & (labels == 0)).sum()),
-            }
-            acc.update(m)
-        else:
-            acc.update(jax.device_get(step(jnp.asarray(waves), jnp.asarray(labels))))
+        )
     print(json.dumps(acc.summary()))
 
 

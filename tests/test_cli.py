@@ -2,6 +2,7 @@
 
 import json
 
+import jax
 import numpy as np
 import pytest
 
@@ -48,6 +49,9 @@ class TestFeaturize:
         ])
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["clips"] == 14
+        # Ingest-at-scale runs sharded over every visible device; 14 clips
+        # pad to 16 on the 8-device mesh and trim back on output.
+        assert rec["devices"] == len(jax.devices())
         z = np.load(out, allow_pickle=True)
         assert z["features"].shape == (14, 90, 101)
         assert set(z["labels"]) == {0, 1}
@@ -122,6 +126,20 @@ class TestEvaluate:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["tp"] + rec["fp"] + rec["fn"] + rec["tn"] == 14
         assert 0 <= rec["accuracy"] <= 100
+
+        # Batch-size invariance: the mask-padded tail path must report the
+        # same metrics regardless of how the 14 clips split into batches.
+        evaluate.main([
+            "--model", str(out / "latest_model"),
+            "--data-dir", str(data_dir), "--batch-size", "5",
+        ])
+        rec5 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        for k in ("tp", "fp", "fn", "tn", "accuracy"):
+            assert rec5[k] == rec[k], k
+        # loss is mean-of-batch-means (the reference's convention,
+        # metrics.py), so it is split-dependent by design; a padded row
+        # leaking into the loss would shift it far beyond this bound.
+        np.testing.assert_allclose(rec5["loss"], rec["loss"], rtol=5e-2)
 
     def test_behavioral_mode(self, data_dir, tmp_path, capsys):
         from cough_detector_tpu.cli import evaluate, train as tcli
