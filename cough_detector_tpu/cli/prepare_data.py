@@ -37,7 +37,10 @@ def main(argv=None) -> None:
 
     if esc50_path.exists():
         n_c, n_n = acquire.reorganize_esc50(
-            str(esc50_path), args.output_dir
+            str(esc50_path), args.output_dir,
+            # prepare_data's 9-class selection (reference:
+            # prepare_data.py:84-94), not setup_data's curated 7.
+            negatives=acquire.PREPARE_DATA_NEGATIVES,
         )
         print(f"ESC-50: {n_c} coughs, {n_n} hard negatives")
     else:

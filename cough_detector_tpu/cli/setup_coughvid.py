@@ -53,7 +53,12 @@ def main(argv=None) -> None:
             except Exception as e:
                 print(f"ESC-50 download failed: {e}")
         if esc50.exists():
-            n_c, n_n = acquire.reorganize_esc50(str(esc50), args.output_dir)
+            n_c, n_n = acquire.reorganize_esc50(
+                str(esc50), args.output_dir,
+                # The COUGHVID merge casts the widest net: 17 negative
+                # classes (reference: setup_coughvid.py:322-340).
+                negatives=acquire.COUGHVID_MERGE_NEGATIVES,
+            )
             print(f"ESC-50 merged: {n_c} coughs, {n_n} negatives")
 
     summary = acquire.dataset_summary(args.output_dir)

@@ -32,9 +32,20 @@ COUGHVID_URL = (
 )
 
 COUGH_CLASS = 24
+# The reference uses three different ESC-50 hard-negative selections, one
+# per ingest pipeline — training-data composition is the thing its
+# postmortem says mattered most, so each list is reproduced exactly:
+# setup_data.py:63 — 7 curated confusables (breathing, snoring, sneezing,
+# crying, clapping, laughing, door knock).
 HARD_NEGATIVES = [20, 21, 22, 23, 25, 26, 38]
-# prepare_data.py additionally uses these two (reference: prepare_data.py:85-94)
-EXTENDED_NEGATIVES = HARD_NEGATIVES + [28, 30]  # clock_tick (38 dup ok), door knock etc.
+# prepare_data.py:84-94 — the 7 plus mouse_click(39) and vacuum_cleaner(36).
+PREPARE_DATA_NEGATIVES = [20, 21, 22, 23, 25, 26, 38, 39, 36]
+# setup_coughvid.py:322-340 — 17 classes for the COUGHVID+ESC-50 merge
+# (adds brushing_teeth, drinking, knocks, clicks, typing, can_opening,
+# clock_alarm, dog, washing_machine, vacuum).
+COUGHVID_MERGE_NEGATIVES = [
+    20, 21, 22, 23, 25, 26, 27, 28, 29, 30, 31, 32, 34, 38, 0, 35, 36,
+]
 
 
 def download_esc50(target_dir: str) -> str:

@@ -57,12 +57,20 @@ def synthetic_non_cough(
     duration_s: float = 2.0,
     sample_rate: int = SAMPLE_RATE,
 ) -> np.ndarray:
-    """Silence / white noise / electrical hum / clicks, chosen by seed."""
+    """Deterministic synthetic negative, kind chosen by seed.
+
+    Covers the union of both reference menus: setup_data.py's
+    silence/white/hum/clicks (setup_data.py:95-164) plus prepare_data.py's
+    pink-noise (cumulative-sum 1/f approximation) and ambient multi-sine
+    mixes (reference: prepare_data.py:138-162).
+    """
     rng = np.random.default_rng(seed)
     n = int(sample_rate * duration_s)
     t = np.linspace(0, duration_s, n)
 
-    kind = rng.choice(["silence", "white_noise", "hum", "clicks"])
+    kind = rng.choice(
+        ["silence", "white_noise", "hum", "clicks", "pink_noise", "ambient"]
+    )
     if kind == "silence":
         audio = rng.standard_normal(n) * 0.005
     elif kind == "white_noise":
@@ -71,11 +79,22 @@ def synthetic_non_cough(
         freq = rng.choice([50, 60, 100, 120])
         audio = np.sin(2 * np.pi * freq * t) * 0.1
         audio += rng.standard_normal(n) * 0.02
-    else:
+    elif kind == "clicks":
         audio = rng.standard_normal(n) * 0.01
         for _ in range(rng.integers(1, 5)):
             pos = rng.integers(0, n - 100)
             audio[pos : pos + 50] = rng.uniform(-0.3, 0.3)
+    elif kind == "pink_noise":
+        pink = np.cumsum(rng.standard_normal(n))
+        pink = pink / (np.abs(pink).max() + 1e-8)
+        audio = pink * rng.uniform(0.01, 0.1)
+    else:  # ambient: 1-3 low sines over a noise floor
+        freqs = rng.choice([60, 120, 240, 500, 1000], size=rng.integers(1, 4),
+                           replace=False)
+        audio = np.zeros(n)
+        for f in freqs:
+            audio += np.sin(2 * np.pi * f * t) * rng.uniform(0.01, 0.03)
+        audio += rng.standard_normal(n) * 0.005
 
     audio = audio / (np.abs(audio).max() + 1e-8) * 0.5
     return audio.astype(np.float32)
