@@ -48,14 +48,25 @@ def main(argv=None) -> None:
     )
 
     esc50_dir = args.esc50_dir
-    if not args.no_esc50 and esc50_dir is None:
-        esc50_dir = download_esc50("./datasets")
+    use_esc50 = not args.no_esc50
+    if use_esc50 and esc50_dir is None:
+        try:
+            esc50_dir = download_esc50("./datasets")
+        except OSError as e:
+            # Air-gapped trainers (TPU pods have no egress) shouldn't lose a
+            # run over the optional auxiliary dataset — train on the custom
+            # data if there is any. (The reference aborts here:
+            # src/train.py:355 has no fallback.)
+            if args.data_dir is None:
+                raise
+            print(f"ESC-50 download failed ({e}); training without it")
+            use_esc50 = False
 
     best = train(
         data_dir=args.data_dir,
         output_dir=args.output_dir,
         config=config,
-        use_esc50=not args.no_esc50,
+        use_esc50=use_esc50,
         esc50_dir=esc50_dir,
         resume=args.resume,
         num_workers=args.num_workers,
