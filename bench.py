@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def serving_bench(num_streams: int = 256, n_ticks: int = 100) -> None:
+def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     import jax
 
     from cough_detector_tpu.config import default_config
@@ -38,15 +38,20 @@ def serving_bench(num_streams: int = 256, n_ticks: int = 100) -> None:
         model, jax.random.PRNGKey(0), cfg.features.feature_shape
     )
     chunk = 1600  # 100 ms at 16 kHz — the reference mic chunk
+    if n_ticks is None:
+        # Cap the prepared audio at ~64M samples so large stream counts
+        # don't balloon host memory; keep enough ticks to time steadily.
+        n_ticks = int(max(16, min(100, 64_000_000 // (num_streams * chunk))))
     det = StreamingDetector(
         variables=variables, config=cfg, num_streams=num_streams,
         chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
         debounce_seconds=0.5,
     )
-    audio = np.stack(
+    base = np.stack(
         [np.resize(synth.synthetic_cough(i, 2.0), chunk * n_ticks)
-         for i in range(num_streams)]
+         for i in range(min(num_streams, 256))]
     ).astype(np.float32)
+    audio = np.tile(base, (-(-num_streams // base.shape[0]), 1))[:num_streams]
 
     import jax as _jax
     import jax.numpy as jnp
@@ -84,19 +89,25 @@ def serving_bench(num_streams: int = 256, n_ticks: int = 100) -> None:
         sync.append(time.perf_counter() - t0)
     sync_p50 = float(np.percentile(sync, 50))
 
-    # Real-time capacity: a tick carries 100 ms of audio per stream.
+    # Real-time capacity AT THIS stream count: real-time iff a tick of
+    # 100 ms audio processes in under 100 ms. The count itself is the
+    # capacity evidence — no extrapolation from smaller batches.
+    realtime = sustained_tick < 0.1
     capacity = int(num_streams * 0.1 / sustained_tick)
     print(
         json.dumps(
             {
                 "metric": "multi_stream_serving",
                 "num_streams": num_streams,
+                "n_ticks_timed": n_ticks - 1,
                 "sustained_tick_ms": round(sustained_tick * 1e3, 3),
                 "sync_tick_p50_ms": round(sync_p50 * 1e3, 3),
-                "realtime_stream_capacity_per_chip": capacity,
+                "realtime_at_this_count": realtime,
+                "derived_stream_capacity_per_chip": capacity,
                 "vs_baseline_256_streams": round(capacity / 256.0, 2),
             }
-        )
+        ),
+        flush=True,
     )
 
 
@@ -150,7 +161,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--serving" in sys.argv:
-        serving_bench()
+    if "--serving-sweep" in sys.argv:
+        # Measured capacity curve (VERDICT r1 §next-6): every point is a
+        # real run at that stream count, not arithmetic from a smaller one.
+        for s in (256, 1024, 4096, 8192, 16384):
+            serving_bench(num_streams=s)
+    elif "--serving" in sys.argv:
+        n = 256
+        if "--streams" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--streams") + 1])
+        serving_bench(num_streams=n)
     else:
         main()
