@@ -49,10 +49,14 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         if not _SRC.exists():
             _build_failed = True
+            print("native loader source missing; using the python decode path")
             return None
         path = _build()
         if path is None:
             _build_failed = True
+            # One loud line, once: silent degradation hides a 'why is ingest
+            # slow' problem (quarantine-with-counts spirit, docs/PARITY.md).
+            print("native loader build failed; using the python decode path")
             return None
         lib = ctypes.CDLL(str(path))
         lib.cdt_load_batch_shifted.restype = ctypes.c_int

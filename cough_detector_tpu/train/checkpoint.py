@@ -39,6 +39,7 @@ def save_checkpoint(
     epoch: int,
     metrics: Dict[str, float],
     config: Config,
+    extra: Optional[Dict[str, Any]] = None,
 ) -> str:
     """Write one named checkpoint (e.g. "best_model", "latest_model")."""
     base = Path(directory) / name
@@ -64,6 +65,10 @@ def save_checkpoint(
         "config": config.to_flat_dict(),
         "config_full": json.loads(config.to_json()),
     }
+    if extra:
+        # Loop-side state that isn't part of the optimizer pytree but is
+        # needed for an exact resume (e.g. early-stopping counters).
+        meta["extra"] = extra
     (base / "meta.json").write_text(json.dumps(meta, indent=2))
     return str(base)
 

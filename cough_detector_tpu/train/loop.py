@@ -231,6 +231,14 @@ def train(
         state = ckpt.restore_into_state(state, tree)
         best_f1 = metrics.get("f1", -1.0)
         start_epoch = epoch + 1
+        # Early-stopping memory travels in the checkpoint: a resumed run
+        # keeps the patience countdown the interrupted run had built up.
+        es = json.loads(
+            (Path(resume) / "meta.json").read_text()
+        ).get("extra", {}).get("early_stop")
+        if es:
+            early.best_loss = es["best_loss"]
+            early.counter = es["counter"]
         # Resuming from latest_model must not let a worse model overwrite
         # the standing best: best_f1 is the max over the resumed metrics and
         # the existing best_model checkpoint.
@@ -318,15 +326,27 @@ def train(
             f"{record['train_clips_per_sec']:,.0f} clips/s"
         )
 
+        # Advance the early-stop state BEFORE writing latest_model so the
+        # checkpointed counters already account for this epoch's val loss —
+        # a resume continues the countdown exactly where it stood.
+        stop = early(val_m["loss"])
+
         if val_m["f1"] > best_f1:
             best_f1 = val_m["f1"]
             ckpt.save_checkpoint(output_dir, "best_model", state, epoch,
                                  val_m, config)
             print(f"  Saved best model (F1: {best_f1:.4f})")
-        ckpt.save_checkpoint(output_dir, "latest_model", state, epoch,
-                             val_m, config)
+        ckpt.save_checkpoint(
+            output_dir, "latest_model", state, epoch, val_m, config,
+            extra={
+                "early_stop": {
+                    "best_loss": early.best_loss,
+                    "counter": early.counter,
+                }
+            },
+        )
 
-        if early(val_m["loss"]):
+        if stop:
             print(f"Early stopping at epoch {epoch}")
             break
 

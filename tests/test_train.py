@@ -268,6 +268,11 @@ class TestEndToEnd:
         lines = (out / "metrics.jsonl").read_text().strip().splitlines()
         epochs = [json.loads(l)["epoch"] for l in lines]
         assert epochs == [0, 1]
+        # Early-stop memory travels in latest_model so a resumed run keeps
+        # the patience countdown (the reference restarts it from zero).
+        meta = json.loads((out / "latest_model" / "meta.json").read_text())
+        es = meta["extra"]["early_stop"]
+        assert isinstance(es["counter"], int) and es["best_loss"] is not None
 
 
 class TestESC50TrainingBranch:
