@@ -17,6 +17,10 @@ Design notes (pallas_guide.md):
     (time, freq) axes of a (101, 8, X) view.
   * The kernel emits (B, T=101, F=90); the host-side wrapper transposes to
     the reference's (B, 90, 101) layout, which XLA fuses into consumers.
+    Measured r2 on v5e (batch 8192): the fused transpose is free — e2e with
+    a natural-(B,T,F) kernel + HW-swapped conv weights is 31.2 ms vs
+    31.4 ms shipped (noise), while emitting (B,F,T) *inside* the kernel
+    costs +2 ms/batch (Mosaic major-minor relayout). Keep this layout.
 
 Output parity: ≤1e-3 relative against the torch golden (tested), same
 budget as the jnp reference path.
