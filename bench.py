@@ -131,9 +131,10 @@ def main() -> None:
         feats = frontend.extract_features_fast(waves, cfg.features)
         return model.apply(variables, feats, train=False)
 
-    # Batch-size scan on v5e: 1024→132k, 2048→143k, 4096→167k, 8192→174k
-    # clips/s; 8192 amortizes dispatch and pipelines the kernel grid best.
-    batch = 8192
+    # Batch-size scan on v5e (r2, current kernel): 8192→262k, 16384→268k
+    # clips/s; 16384 amortizes dispatch/grid overheads best and fits HBM
+    # with ~10x headroom.
+    batch = 16384
     base = synth.fixture_batch(256, 1.0, seed=0)
     waves = jnp.asarray(np.tile(base, (batch // 256, 1)))
 
