@@ -75,7 +75,9 @@ def main(argv=None) -> None:
         waves = frontend.peak_normalize(waves)
         if args.augment:
             waves = augment_waveforms(waves, key, p=0.3)
-        return frontend.extract_features(waves, cfg)
+        # Fused Pallas kernel on TPU (hybrid for contrast configs), jnp
+        # chain on CPU — same outputs, ~3x faster ingest on the chip.
+        return frontend.extract_features_fast(waves, cfg)
 
     feats_out, labels_out = [], []
     key = jax.random.PRNGKey(args.seed)

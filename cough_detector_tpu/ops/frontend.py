@@ -213,11 +213,15 @@ def pcen(
     """
     t = mel.shape[1]
     padded = jnp.pad(mel, [(0, 0), (5, 5), (0, 0)])
-    # Moving sum over 10 frames via cumulative sum: O(T) and fusion-friendly.
-    cs = jnp.cumsum(padded, axis=1)
-    cs = jnp.pad(cs, [(0, 0), (1, 0), (0, 0)])
-    smooth = (cs[:, 10:, :] - cs[:, :-10, :]) / 10.0
-    smooth = smooth[:, :t, :]
+    # Moving sum as ten statically-shifted adds. NOT a cumsum difference:
+    # f32 cumsum over the clip reaches ~1e7 for loud mel energies and the
+    # windowed difference cancels catastrophically (measured 0.88 deviation
+    # vs the torch golden on a sine sweep; the min-max then spreads it over
+    # the whole map). Same scheme as the fused kernel's PCEN.
+    smooth = padded[:, 0:t, :]
+    for d in range(1, 10):
+        smooth = smooth + padded[:, d : d + t, :]
+    smooth = smooth / 10.0
     out = jnp.power(mel / jnp.power(eps + smooth, alpha) + delta, r) - delta**r
     lo = jnp.min(out, axis=(1, 2), keepdims=True)
     hi = jnp.max(out, axis=(1, 2), keepdims=True)
@@ -252,8 +256,13 @@ def compute_deltas(features: jnp.ndarray) -> jnp.ndarray:
     return (padded[:, 2:, :] - padded[:, :-2, :]) / 2.0
 
 
-def spectral_contrast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
+def spectral_contrast(
+    waveform: jnp.ndarray, cfg: FeatureConfig, method: str = "fft"
+) -> jnp.ndarray:
     """(B, S) → (B, T, n_bands+1): per-band peak-valley contrast + centroid.
+
+    `method` picks the STFT formulation: "fft" (parity reference) or "gemm"
+    (MXU-native, used by the fused-kernel hybrid path on TPU).
 
     Ports the reference's hand-rolled contrast
     (reference: src/preprocessing.py:242-303): 6 log-spaced bands of the
@@ -263,7 +272,9 @@ def spectral_contrast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     fixed-shape ops.
     """
     n_freqs = cfg.n_fft // 2 + 1
-    spec = power_spectrogram(waveform, cfg.n_fft, cfg.hop_length, cfg.win_length)
+    spec = power_spectrogram(
+        waveform, cfg.n_fft, cfg.hop_length, cfg.win_length, method=method
+    )
     t = spec.shape[1]
     n_bands = cfg.n_contrast_bands
 
@@ -298,7 +309,8 @@ def spectral_contrast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     # torchaudio SpectralCentroid defaults win_length=n_fft, power=1
     # (reference: src/preprocessing.py:137-141).
     mag = power_spectrogram(
-        waveform, cfg.n_fft, cfg.hop_length, cfg.n_fft, power=1.0
+        waveform, cfg.n_fft, cfg.hop_length, cfg.n_fft, power=1.0,
+        method=method,
     )
     freqs = jnp.asarray(
         np.linspace(0, cfg.sample_rate // 2, n_freqs, dtype=np.float32)

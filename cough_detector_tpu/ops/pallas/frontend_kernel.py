@@ -177,8 +177,10 @@ def _kernel(
 def _supported(cfg: FeatureConfig) -> bool:
     # Pre-emphasis applies outside the kernel (elementwise, fuses into the
     # reflect pad); delta-delta is an extra in-kernel diff; PCEN's smoother
-    # is ten statically-shifted adds. Only spectral contrast (per-band sorts
-    # on the full spectrum) stays on the jnp path.
+    # is ten statically-shifted adds. Spectral contrast (per-band sorts on
+    # the full spectrum) runs hybrid: the kernel computes every other
+    # branch, the jnp contrast rows concatenate after (see
+    # extract_features_fused).
     return cfg.use_mfcc and not cfg.use_spectral_contrast
 
 
@@ -273,6 +275,30 @@ def extract_features_fused(
     whose length differs from cfg.segment_samples (the kernel's frame count
     is baked to the segment geometry) fall back to the jnp path, so output
     always matches frontend.extract_features."""
+    if (
+        cfg.use_spectral_contrast
+        and cfg.use_mfcc
+        and waves.shape[-1] == cfg.segment_samples
+    ):
+        # Hybrid: mel/MFCC/deltas through the fused kernel, contrast rows
+        # (per-band sorts — no MXU formulation) via the jnp path from the
+        # un-emphasized waveform (reference stacks them last,
+        # src/preprocessing.py:472-487). ~3x faster than the full jnp chain
+        # for all-flags configs.
+        import dataclasses
+
+        from .. import frontend
+
+        base = dataclasses.replace(cfg, use_spectral_contrast=False)
+        std = extract_features_fused(waves, base, interpret)
+        # GEMM STFT for the contrast rows too: log1p of sorted-band means
+        # doesn't amplify the ~1e-4 spectrogram error the way log10 on
+        # near-zero mel bins does (measured within budget on chip).
+        con = frontend.spectral_contrast(waves, cfg, method="gemm")
+        return jnp.concatenate(
+            [std, jnp.transpose(con, (0, 2, 1))], axis=1
+        )
+
     if not _supported(cfg) or waves.shape[-1] != cfg.segment_samples:
         from .. import frontend
 

@@ -51,11 +51,13 @@ class TestFusedKernel:
         np.testing.assert_allclose(out, full[:b], atol=1e-6)
 
     def test_unsupported_config_falls_back(self):
-        # Spectral contrast stays on the jnp path (per-band sorts).
-        cfg = FeatureConfig(use_spectral_contrast=True)
+        # No-MFCC configs have no kernel (nor hybrid) coverage: the wrapper
+        # must return the jnp path's output exactly.
+        cfg = FeatureConfig(use_mfcc=False)
         w = synth.fixture_batch(2, 1.0, seed=0)
         out = np.asarray(extract_features_fused(w, cfg, interpret=True))
         ref = np.asarray(frontend.extract_features(w, cfg))
+        assert out.shape == (2, 64, 101)
         np.testing.assert_allclose(out, ref, atol=1e-6)
 
     def test_four_step_matrices_reconstruct_dft(self):
@@ -149,5 +151,36 @@ class TestPCENInKernel:
             torch.from_numpy(cough_wave),
             use_pcen=True, use_pre_emphasis=True, use_delta_delta=True,
         ).numpy()
+        err = np.abs(fused - theirs).max() / np.abs(theirs).max()
+        assert err < 1e-3, err
+
+
+class TestHybridContrast:
+    """All-flags configs run hybrid: kernel for mel/MFCC/deltas, jnp for the
+    contrast rows — extract_features_fast covers every config without a
+    full-path fallback."""
+
+    def test_all_flags_matches_jnp_path(self):
+        cfg = FeatureConfig(
+            use_pcen=True, use_pre_emphasis=True, use_delta_delta=True,
+            use_spectral_contrast=True,
+        )
+        assert cfg.num_features == 110
+        w = synth.fixture_batch(8, 1.0, seed=6)
+        fused = np.asarray(extract_features_fused(w, cfg, interpret=True))
+        ref = np.asarray(frontend.extract_features(w, cfg))
+        assert fused.shape == ref.shape == (8, 110, 101)
+        err = np.abs(fused - ref).max() / np.abs(ref).max()
+        assert err < 1e-3, err
+
+    def test_contrast_only_config_matches_golden(self, cough_wave):
+        cfg = FeatureConfig(use_spectral_contrast=True)
+        fused = np.asarray(
+            extract_features_fused(cough_wave[None], cfg, interpret=True)
+        )[0]
+        theirs = gold.extract_features(
+            torch.from_numpy(cough_wave), use_spectral_contrast=True,
+        ).numpy()
+        assert fused.shape == theirs.shape
         err = np.abs(fused - theirs).max() / np.abs(theirs).max()
         assert err < 1e-3, err
