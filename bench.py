@@ -111,7 +111,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
 
 
-def main() -> None:
+def main(batch: int = None, n_iters: int = 20) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -131,17 +131,16 @@ def main() -> None:
         feats = frontend.extract_features_fast(waves, cfg.features)
         return model.apply(variables, feats, train=False)
 
-    # Batch-size scan on v5e (r2, current kernel): 8192→262k, 16384→268k
-    # clips/s; 16384 amortizes dispatch/grid overheads best and fits HBM
-    # with ~10x headroom.
-    batch = 16384
-    base = synth.fixture_batch(256, 1.0, seed=0)
-    waves = jnp.asarray(np.tile(base, (batch // 256, 1)))
+    if batch is None:
+        # Batch-size scan on v5e (r2, current kernel): 8192→262k,
+        # 16384→268k clips/s; 16384 amortizes dispatch/grid overheads best
+        # and fits HBM with ~10x headroom.
+        batch = 16384
+    base = synth.fixture_batch(min(batch, 256), 1.0, seed=0)
+    waves = jnp.asarray(np.tile(base, (-(-batch // base.shape[0]), 1))[:batch])
 
     # Warmup / compile.
     forward(waves).block_until_ready()
-
-    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = forward(waves)
@@ -173,4 +172,7 @@ if __name__ == "__main__":
             n = int(sys.argv[sys.argv.index("--streams") + 1])
         serving_bench(num_streams=n)
     else:
-        main()
+        batch = None
+        if "--batch" in sys.argv:
+            batch = int(sys.argv[sys.argv.index("--batch") + 1])
+        main(batch=batch)
