@@ -20,6 +20,7 @@ import numpy as np
 from ..config import Config
 from ..models import create_model
 from ..ops import frontend
+from ..parallel import batch_sharding, make_mesh
 
 
 class OfflineDetection(NamedTuple):
@@ -82,13 +83,25 @@ def score_recording(
     smoothing_window: int = 3,
     debounce_seconds: float = 0.5,
     batch_size: int = 1024,
+    mesh=None,
 ) -> List[OfflineDetection]:
     """Score one long mono 16 kHz recording; returns debounced detections
-    identical to streaming it chunk-by-chunk."""
+    identical to streaming it chunk-by-chunk.
+
+    With more than one device (or an explicit `mesh`) the window batch
+    shards over the mesh — windows are independent, so a long recording
+    scores N-chips-wide with no collectives. mesh=False forces
+    single-device."""
     fcfg = config.features
     window = fcfg.segment_samples
     hop = int(fcfg.sample_rate * hop_duration)
     model = create_model(config.model.model_type)
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    if mesh is False:
+        mesh = None
+    sharding = batch_sharding(mesh) if mesh is not None else None
 
     @jax.jit
     def score(windows):
@@ -102,12 +115,15 @@ def score_recording(
     probs = np.empty(n, np.float32)
     for start in range(0, n, batch_size):
         chunk = windows[start : start + batch_size]
-        pad = batch_size - chunk.shape[0]
-        if pad and n > batch_size:  # keep one compiled shape
+        real = chunk.shape[0]
+        pad = batch_size - real
+        # One compiled shape across batches; under a mesh the pad also
+        # keeps the batch divisible by the device count.
+        if pad and (mesh is not None or n > batch_size):
             chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
-        probs[start : start + min(batch_size, n - start)] = np.asarray(
-            score(chunk)
-        )[: min(batch_size, n - start)]
+        if sharding is not None:
+            chunk = jax.device_put(chunk, sharding)
+        probs[start : start + real] = np.asarray(score(chunk))[:real]
 
     return smooth_and_debounce(
         probs,

@@ -201,3 +201,31 @@ class TestStreamSharding:
         assert len(auto._state.buffer.sharding.device_set) == len(jax.devices())
         odd = StreamingDetector(num_streams=3, **kw)
         assert odd.mesh is None
+
+
+class TestOfflineSharding:
+    def test_long_recording_shards_over_mesh(self, mesh):
+        """Offline long-recording scoring shards its window batch over the
+        mesh and reproduces the single-device detections exactly."""
+        from cough_detector_tpu.stream.offline import score_recording
+
+        cfg = default_config("small")
+        model = create_model("small")
+        variables = init_model(
+            model, jax.random.PRNGKey(0), cfg.features.feature_shape
+        )
+        wave = np.concatenate(
+            [synth.fixture_batch(1, 10.0, seed=9)[0]]
+        ).astype(np.float32)
+
+        kw = dict(
+            variables=variables, config=cfg, threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, batch_size=16,
+        )
+        single = score_recording(wave, mesh=False, **kw)
+        sharded = score_recording(wave, mesh=mesh, **kw)
+        assert len(single) > 0
+        assert len(single) == len(sharded)
+        for a, b in zip(single, sharded):
+            assert a.time_seconds == b.time_seconds
+            np.testing.assert_allclose(a.confidence, b.confidence, rtol=1e-5)
