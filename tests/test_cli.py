@@ -157,3 +157,77 @@ class TestEvaluate:
         ])
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "fp_per_min_silence" in rec and "cough_detection_rate" in rec
+
+
+class TestExtractSegments:
+    """The curation tool the reference only sketched
+    (IMPROVEMENT_PLAN.md:222-267): energy-burst extraction and uniform
+    tiling of long recordings into training-length clips."""
+
+    @pytest.fixture()
+    def long_recordings(self, tmp_path):
+        d = tmp_path / "long"
+        d.mkdir()
+        sr = 16000
+        # 8 s of near-silence with two loud coughs at 2 s and 5.5 s.
+        wave = (np.random.default_rng(0).standard_normal(8 * sr) * 1e-4)
+        for pos in (2.0, 5.5):
+            c = synth.synthetic_cough(7, duration_s=1.0)
+            lo = int(pos * sr)
+            wave[lo : lo + len(c)] += c
+        audio_io.write_wav(d / "rec0.wav", wave.astype(np.float32), sr)
+        return d
+
+    def test_energy_mode_finds_bursts(self, long_recordings, tmp_path, capsys):
+        from cough_detector_tpu.cli import extract_segments
+
+        out = tmp_path / "segs"
+        extract_segments.main([
+            "--input-dir", str(long_recordings), "--output-dir", str(out),
+            "--mode", "energy",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["recordings"] == 1
+        assert rec["written"] == 2  # the two coughs, nothing from silence
+        clips = sorted(out.glob("*.wav"))
+        assert len(clips) == 2
+        for c in clips:
+            w, sr = audio_io.read_wav(str(c))
+            assert sr == 16000 and w.shape[-1] == 16000
+
+    def test_uniform_mode_tiles_everything(self, long_recordings, tmp_path, capsys):
+        from cough_detector_tpu.cli import extract_segments
+
+        out = tmp_path / "tiles"
+        extract_segments.main([
+            "--input-dir", str(long_recordings), "--output-dir", str(out),
+            "--mode", "uniform",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["written"] == 8  # 8 s -> 8 one-second tiles
+
+    def test_model_filtered_extraction(self, long_recordings, tmp_path, capsys):
+        from cough_detector_tpu.cli import extract_segments, train as tcli
+
+        data = tmp_path / "d"
+        from cough_detector_tpu.cli import prepare_data
+        prepare_data.main([
+            "--output-dir", str(data), "--skip-download",
+            "--synthetic-coughs", "6", "--synthetic-non-coughs", "6",
+        ])
+        ck = tmp_path / "ck"
+        tcli.main([
+            "--data-dir", str(data), "--output-dir", str(ck),
+            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
+            "--no-esc50", "--num-workers", "2",
+        ])
+        capsys.readouterr()
+        out = tmp_path / "scored"
+        extract_segments.main([
+            "--input-dir", str(long_recordings), "--output-dir", str(out),
+            "--mode", "energy", "--model", str(ck / "latest_model"),
+            "--min-confidence", "0.0",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["scored"] is True
+        assert rec["written"] == rec["candidates"] == 2
