@@ -54,17 +54,29 @@ class CoughDetector(nn.Module):
     fc_hidden: int = 128
     dropout: float = 0.5
     dtype: Dtype = jnp.float32
+    precision_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = _as_nhwc(x).astype(self.dtype)
         for i, ch in enumerate(self.channels):
-            x = ConvBlock(ch, dtype=self.dtype, name=f"block{i}")(x, train)
+            x = ConvBlock(
+                ch, dtype=self.dtype, prec_mode=self.precision_mode,
+                name=f"block{i}",
+            )(x, train)
         x = global_avg_pool(x)
-        x = nn.Dense(self.fc_hidden, dtype=self.dtype, precision=mxu_precision(self.dtype), name="fc1")(x)
+        # The head is the parity-dominant site (mxu_precision docstring)
+        # and a negligible share of the FLOPs: always HIGH.
+        x = nn.Dense(
+            self.fc_hidden, dtype=self.dtype,
+            precision=mxu_precision(self.dtype, sensitive=True), name="fc1",
+        )(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes, dtype=self.dtype, precision=mxu_precision(self.dtype), name="fc2")(x)
+        x = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            precision=mxu_precision(self.dtype, sensitive=True), name="fc2",
+        )(x)
         return x.astype(jnp.float32)
 
 
@@ -76,26 +88,35 @@ class CoughDetectorSmall(nn.Module):
 
     num_classes: int = 2
     dtype: Dtype = jnp.float32
+    precision_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pm = self.precision_mode
         x = _as_nhwc(x).astype(self.dtype)
         x = nn.Conv(
-            16, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, precision=mxu_precision(self.dtype), name="stem_conv"
+            16, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+            precision=mxu_precision(self.dtype, pm), name="stem_conv",
         )(x)
         x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = SeparableBlock(32, pool=True, dtype=self.dtype, name="sep1")(x, train)
-        x = SeparableBlock(64, pool=True, dtype=self.dtype, name="sep2")(x, train)
-        x = SeparableBlock(128, pool=False, dtype=self.dtype, name="sep3")(x, train)
+        x = SeparableBlock(32, pool=True, dtype=self.dtype, prec_mode=pm, name="sep1")(x, train)
+        x = SeparableBlock(64, pool=True, dtype=self.dtype, prec_mode=pm, name="sep2")(x, train)
+        x = SeparableBlock(128, pool=False, dtype=self.dtype, prec_mode=pm, name="sep3")(x, train)
 
         x = global_avg_pool(x)
-        x = nn.Dense(64, dtype=self.dtype, precision=mxu_precision(self.dtype), name="fc1")(x)
+        x = nn.Dense(
+            64, dtype=self.dtype,
+            precision=mxu_precision(self.dtype, sensitive=True), name="fc1",
+        )(x)
         x = nn.relu(x)
         x = nn.Dropout(0.3, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes, dtype=self.dtype, precision=mxu_precision(self.dtype), name="fc2")(x)
+        x = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            precision=mxu_precision(self.dtype, sensitive=True), name="fc2",
+        )(x)
         return x.astype(jnp.float32)
 
 
@@ -111,6 +132,7 @@ class CoughDetectorResidual(nn.Module):
     channels: Sequence[int] = (32, 64, 128)
     dropout: float = 0.5
     dtype: Dtype = jnp.float32
+    precision_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -121,7 +143,7 @@ class CoughDetectorResidual(nn.Module):
             strides=(2, 2),
             padding=[(3, 3), (3, 3)],
             dtype=self.dtype,
-            precision=mxu_precision(self.dtype),
+            precision=mxu_precision(self.dtype, self.precision_mode),
             name="stem_conv",
         )(x)
         x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
@@ -129,13 +151,19 @@ class CoughDetectorResidual(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         for i, ch in enumerate(self.channels[1:]):
-            x = ResidualBlock(ch, stride=2, dtype=self.dtype, name=f"res{i}")(
-                x, train
-            )
+            x = ResidualBlock(
+                ch, stride=2, dtype=self.dtype,
+                prec_mode=self.precision_mode, name=f"res{i}",
+            )(x, train)
 
         x = global_avg_pool(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes, dtype=self.dtype, precision=mxu_precision(self.dtype), name="fc")(x)
+        # Final dense: the single largest parity contributor (5.5e-3 at
+        # DEFAULT) at negligible cost — always HIGH.
+        x = nn.Dense(
+            self.num_classes, dtype=self.dtype,
+            precision=mxu_precision(self.dtype, sensitive=True), name="fc",
+        )(x)
         return x.astype(jnp.float32)
 
 

@@ -22,20 +22,33 @@ from flax import linen as nn
 Dtype = Any
 
 
-def mxu_precision(dtype) -> jax.lax.Precision:
-    """Conv/dense MXU precision for a compute dtype.
+def mxu_precision(
+    dtype, mode: str = "high", sensitive: bool = False
+) -> jax.lax.Precision:
+    """Conv/dense MXU precision for a compute dtype and precision mode.
 
-    Measured on v5e (batch 2048, residual model, vs torch logits):
-      DEFAULT (1 bf16 pass):  3.6e-3 parity — FAILS the ≤1e-3 budget
+    Measured on v5e (batch 2048/16384, residual model, vs torch logits):
+      DEFAULT (1 bf16 pass):  4.9e-3 parity — FAILS the ≤1e-3 budget
       HIGH    (3 passes):     3.4e-5 parity, ~2x faster than HIGHEST
       HIGHEST (6 passes):     2.4e-7 parity
-    HIGH is the float32 sweet spot; bfloat16 serving uses the native pass.
+    mode="high" (the default everywhere) runs every matmul at HIGH.
+
+    mode="serve" is an OPT-IN mixed scheme measured on v5e (r2,
+    docs/PARITY.md has the full tables): bulk convs at DEFAULT with the
+    `sensitive` sites (final dense, skip projections — the dominant error
+    contributors at negligible FLOPs) pinned HIGH. It runs the classifier
+    ~1.5x faster at a stable ~2-5e-4 *absolute* logits error — but the
+    parity budget is *relative*, and randomized checkpoints can have
+    max|logit| ~0.06, inflating that to 6.6e-3 (seed-77 measurement).
+    It is therefore NOT the default: use it only for serving trained
+    checkpoints whose logit scale is O(1), where the relative error is
+    ~2e-4. bfloat16 compute always uses the native single pass.
     """
-    return (
-        jax.lax.Precision.HIGH
-        if jnp.dtype(dtype) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    if jnp.dtype(dtype) != jnp.float32:
+        return jax.lax.Precision.DEFAULT
+    if sensitive or mode != "serve":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.DEFAULT
 
 
 class BatchNorm(nn.Module):
@@ -92,6 +105,7 @@ class ConvBlock(nn.Module):
     features: int
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
+    prec_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -100,7 +114,7 @@ class ConvBlock(nn.Module):
             (3, 3),
             padding=[(1, 1), (1, 1)],
             dtype=self.dtype,
-            precision=mxu_precision(self.dtype),
+            precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv",
         )(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
@@ -123,6 +137,7 @@ class SeparableBlock(nn.Module):
     features: int
     pool: bool = True
     dtype: Dtype = jnp.float32
+    prec_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -133,10 +148,16 @@ class SeparableBlock(nn.Module):
             padding=[(1, 1), (1, 1)],
             feature_group_count=in_ch,
             dtype=self.dtype,
-            precision=mxu_precision(self.dtype),
+            precision=mxu_precision(self.dtype, self.prec_mode),
             name="dw",
         )(x)
-        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, precision=mxu_precision(self.dtype), name="pw")(x)
+        x = nn.Conv(
+            self.features,
+            (1, 1),
+            dtype=self.dtype,
+            precision=mxu_precision(self.dtype, self.prec_mode),
+            name="pw",
+        )(x)
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
         x = nn.relu(x)
         if self.pool:
@@ -154,6 +175,7 @@ class ResidualBlock(nn.Module):
     features: int
     stride: int = 2
     dtype: Dtype = jnp.float32
+    prec_mode: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -161,12 +183,15 @@ class ResidualBlock(nn.Module):
         needs_proj = in_ch != self.features or self.stride != 1
 
         if needs_proj:
+            # The projection feeds the residual sum almost straight into
+            # the head — measured as the most parity-sensitive conv site
+            # (mxu_precision docstring) — so it stays HIGH in serve mode.
             identity = nn.Conv(
                 self.features,
                 (1, 1),
                 strides=(self.stride, self.stride),
                 dtype=self.dtype,
-                precision=mxu_precision(self.dtype),
+                precision=mxu_precision(self.dtype, sensitive=True),
                 name="skip_conv",
             )(x)
             identity = BatchNorm(dtype=self.dtype, name="skip_bn")(
@@ -181,7 +206,7 @@ class ResidualBlock(nn.Module):
             strides=(self.stride, self.stride),
             padding=[(1, 1), (1, 1)],
             dtype=self.dtype,
-            precision=mxu_precision(self.dtype),
+            precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv1",
         )(x)
         out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
@@ -191,7 +216,7 @@ class ResidualBlock(nn.Module):
             (3, 3),
             padding=[(1, 1), (1, 1)],
             dtype=self.dtype,
-            precision=mxu_precision(self.dtype),
+            precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv2",
         )(out)
         out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)

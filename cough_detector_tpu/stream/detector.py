@@ -73,13 +73,19 @@ class StreamingDetector:
         debounce_seconds: float = 0.5,
         hop_duration: float = 0.25,
         mesh=None,
+        precision_mode: str = "high",
     ):
         """`mesh` lays the stream axis out across chips (SURVEY.md §2.9):
         None auto-builds a mesh over all local devices when num_streams
         divides evenly; False forces single-device; or pass an explicit
         jax.sharding.Mesh. Model params replicate, per-stream state shards,
         and the tick stays one SPMD program — serving capacity scales
-        linearly with chips."""
+        linearly with chips.
+
+        `precision_mode`: "high" (default) keeps full f32 parity.
+        "serve" is an opt-in ~1.5x-classifier speedup for trained
+        checkpoints with O(1) logit scale — see models/layers.py
+        mxu_precision for the measured trade-off."""
         if model_path is not None:
             variables, config = _load_any_checkpoint(model_path)
         elif variables is None or config is None:
@@ -110,7 +116,9 @@ class StreamingDetector:
             config.features.sample_rate * self.stream_config.window_duration
         )
 
-        model = create_model(config.model.model_type)
+        model = create_model(
+            config.model.model_type, precision_mode=precision_mode
+        )
         self._variables = jax.tree_util.tree_map(jnp.asarray, variables)
         if mesh is not None:
             from ..parallel import replicate

@@ -61,6 +61,25 @@ class TestArchitecture:
         b = model.apply(variables, jnp.ones((2, 90, 101)), train=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
+    @pytest.mark.parametrize("mt", ALL_TYPES)
+    def test_serve_precision_mode_same_params_and_logits(self, mt):
+        """precision_mode only changes MXU pass counts (a TPU-only effect,
+        measured in docs/PARITY.md): the param tree and CPU logits are
+        identical to the default mode."""
+        model, variables = _init(mt)
+        serve = create_model(mt, precision_mode="serve")
+        tree_hi = jax.tree_util.tree_structure(variables)
+        tree_sv = jax.tree_util.tree_structure(
+            init_model(serve, jax.random.PRNGKey(0), (90, 101))
+        )
+        assert tree_hi == tree_sv
+        x = jnp.asarray(
+            np.random.RandomState(5).rand(3, 90, 101).astype(np.float32)
+        )
+        a = model.apply(variables, x, train=False)
+        b = serve.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
 
 class TestTorchParity:
     @pytest.mark.parametrize("mt", ALL_TYPES)
