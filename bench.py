@@ -53,7 +53,6 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     ).astype(np.float32)
     audio = np.tile(base, (-(-num_streams // base.shape[0]), 1))[:num_streams]
 
-    import jax as _jax
     import jax.numpy as jnp
 
     # Drive the jitted tick directly so syncing policy is explicit: in
@@ -68,15 +67,16 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
         for t in range(n_ticks)
     ]
     state, ev = step(state, chunks[0])  # compile
-    _jax.block_until_ready(ev)
+    np.asarray(ev["fired"])  # fetch: wait for compile + first tick for real
 
-    # Sustained (pipelined) throughput.
-    events = []
+    # Sustained (pipelined) throughput. Ticks are serially dependent
+    # through `state`, so fetching the LAST tick's event (host fetch, not
+    # block_until_ready — which can silently no-op over the axon tunnel)
+    # provably waits for the whole chain.
     t0 = time.perf_counter()
     for t in range(1, n_ticks):
         state, ev = step(state, chunks[t])
-        events.append(ev["fired"])
-    _jax.block_until_ready(events)
+    float(np.asarray(ev["fired"]).sum())
     sustained_tick = (time.perf_counter() - t0) / (n_ticks - 1)
 
     # Synchronous per-tick latency (includes host round-trip). The step
@@ -85,7 +85,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     for t in range(12):
         t0 = time.perf_counter()
         state, ev = step(state, chunks[t % n_ticks])
-        _jax.block_until_ready(ev["fired"])
+        np.asarray(ev["fired"])  # host fetch = provable completion
         sync.append(time.perf_counter() - t0)
     sync_p50 = float(np.percentile(sync, 50))
 
@@ -111,7 +111,10 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
 
 
-def main(batch: int = None, n_iters: int = 20) -> None:
+def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
+    """mode: "high" (default, ≤1e-3 parity), "serve" (opt-in mixed
+    precision, ~2-5e-4 absolute logits error — docs/PARITY.md), or "bf16"
+    (fastest, outside the parity budget)."""
     import jax
     import jax.numpy as jnp
 
@@ -121,15 +124,37 @@ def main(batch: int = None, n_iters: int = 20) -> None:
     from cough_detector_tpu.ops import frontend
 
     cfg = default_config("residual")
-    model = create_model(cfg.model.model_type)
+    kwargs = {}
+    if mode == "serve":
+        kwargs["precision_mode"] = "serve"
+    elif mode == "bf16":
+        kwargs["dtype"] = jnp.bfloat16
+    model = create_model(cfg.model.model_type, **kwargs)
     variables = init_model(
         model, jax.random.PRNGKey(0), cfg.features.feature_shape
     )
+    if mode == "bf16":
+        from cough_detector_tpu.models import fuse
+
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, fuse.fold_batchnorm(variables, cfg.model.model_type)
+        )
 
     @jax.jit
     def forward(waves):
         feats = frontend.extract_features_fast(waves, cfg.features)
         return model.apply(variables, feats, train=False)
+
+    # Timing integrity (measured r2): jax.block_until_ready can silently
+    # no-op over the axon tunnel in some process states, letting enqueued
+    # work hide outside the timed region. The timed loop therefore chains a
+    # scalar through every iteration (so no execution can be elided or
+    # deduped) and ends with a HOST FETCH of that scalar, which provably
+    # waits for the whole chain. The extra (B, 2)-logits reduction is
+    # negligible and fused.
+    @jax.jit
+    def forward_timed(waves, acc):
+        return forward(waves).sum() + acc
 
     if batch is None:
         # Batch-size scan on v5e (r2, current kernel): 8192→262k,
@@ -139,25 +164,25 @@ def main(batch: int = None, n_iters: int = 20) -> None:
     base = synth.fixture_batch(min(batch, 256), 1.0, seed=0)
     waves = jnp.asarray(np.tile(base, (-(-batch // base.shape[0]), 1))[:batch])
 
-    # Warmup / compile.
-    forward(waves).block_until_ready()
+    # Warmup / compile (the fetch forces real completion).
+    acc = forward_timed(waves, jnp.float32(0.0))
+    float(acc)
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = forward(waves)
-    out.block_until_ready()
+        acc = forward_timed(waves, acc)
+    float(acc)  # fetch inside the timed region: nothing can hide after it
     dt = (time.perf_counter() - t0) / n_iters
 
     clips_per_sec = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "1s_clips_per_sec_per_chip_end_to_end",
-                "value": round(clips_per_sec, 1),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(clips_per_sec / 10_000.0, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "1s_clips_per_sec_per_chip_end_to_end",
+        "value": round(clips_per_sec, 1),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec / 10_000.0, 3),
+    }
+    if mode != "high":
+        record["mode"] = mode  # opt-in fast path, outside the default claim
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
@@ -175,4 +200,7 @@ if __name__ == "__main__":
         batch = None
         if "--batch" in sys.argv:
             batch = int(sys.argv[sys.argv.index("--batch") + 1])
-        main(batch=batch)
+        mode = "high"
+        if "--mode" in sys.argv:
+            mode = sys.argv[sys.argv.index("--mode") + 1]
+        main(batch=batch, mode=mode)
