@@ -74,27 +74,56 @@ def _split3(x):
     return hi, mid, lo
 
 
+def _bdot(x, y):
+    return jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_x6_presplit(a_terms, b_terms):
+    """Six bf16 MXU passes (BF16_BF16_F32_X6) from pre-split operands.
+
+    Splitting is hoisted out so one waveform-frame split feeds both the cos
+    and sin GEMMs (measured r2: re-splitting per call cost ~2 ms/16k batch),
+    and the constant DFT matrices are split once at trace time.
+    """
+    a1, a2, a3 = a_terms
+    b1, b2, b3 = b_terms
+    # Low-order terms first for a friendlier accumulation order.
+    out = _bdot(a3, b1) + _bdot(a2, b2) + _bdot(a1, b3)
+    out = out + (_bdot(a2, b1) + _bdot(a1, b2))
+    return out + _bdot(a1, b1)
+
+
 def _dot_x6(a, b):
     """f32xf32 matmul via six bf16 MXU passes (BF16_BF16_F32_X6 scheme)."""
-    a1, a2, a3 = _split3(a)
-    b1, b2, b3 = _split3(b)
+    return _dot_x6_presplit(_split3(a), _split3(b))
 
-    def bdot(x, y):
-        return jax.lax.dot_general(
-            x, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
-    # Low-order terms first for a friendlier accumulation order.
-    out = bdot(a3, b1) + bdot(a2, b2) + bdot(a1, b3)
-    out = out + (bdot(a2, b1) + bdot(a1, b2))
-    return out + bdot(a1, b1)
+def _dot_x3(a, b):
+    """f32xf32 matmul via three bf16 MXU passes (Precision.HIGH semantics —
+    Mosaic only lowers DEFAULT/HIGHEST, so spell it out)."""
+    a1, a2, _ = _split3(a)
+    b1, b2, _ = _split3(b)
+    return (_bdot(a2, b1) + _bdot(a1, b2)) + _bdot(a1, b1)
+
+
+def _np_split3(x: np.ndarray):
+    """Host-side twin of _split3 for constant operands (numpy + ml_dtypes)."""
+    import ml_dtypes
+
+    hi = x.astype(ml_dtypes.bfloat16)
+    r1 = x - hi.astype(np.float32)
+    mid = r1.astype(ml_dtypes.bfloat16)
+    lo = (r1 - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, mid, lo
 
 
 def _kernel(
     wave_ref,   # (B_TILE, padded_len) f32, reflect-padded waveform
-    c_ref,      # (n_fft, n_used_bins) windowed DFT cos (band-limited)
-    s_ref,      # (n_fft, n_used_bins) windowed DFT -sin
+    c1_ref, c2_ref, c3_ref,  # (n_fft, n_used) bf16 X6 terms of windowed cos
+    s1_ref, s2_ref, s3_ref,  # (n_fft, n_used) bf16 X6 terms of windowed -sin
     fb_ref,     # (n_used_bins, n_mels) mel filterbank
     dct_ref,    # (n_mels, n_mfcc) DCT-II ortho
     out_ref,    # (B_TILE, n_frames, n_features) f32
@@ -115,12 +144,17 @@ def _kernel(
             :, t * hop : t * hop + n_fft
         ]
 
-    # 2. Windowed rDFT as two X6 GEMMs; power; mel projection.
-    frames = frames_ref[:]
-    re = _dot_x6(frames, c_ref[:])
-    im = _dot_x6(frames, s_ref[:])
+    # 2. Windowed rDFT as two X6 GEMMs (one shared frame split); power; mel.
+    frames = _split3(frames_ref[:])
+    re = _dot_x6_presplit(frames, (c1_ref[:], c2_ref[:], c3_ref[:]))
+    im = _dot_x6_presplit(frames, (s1_ref[:], s2_ref[:], s3_ref[:]))
     power = re * re + im * im  # (T*B, n_freqs)
-    mel = _dot(power, fb_ref[:])  # (T*B, n_mels); positive sums — HIGHEST ok
+    # The mel GEMM runs at X3 (HIGH semantics): it is an all-positive sum
+    # (Σ|terms| = |result|), so its ~2^-16 relative error is ~1e-7 in
+    # normalized feature units after the log stages — no DFT-style
+    # cancellation. Measured r2 on chip: parity bit-identical to HIGHEST
+    # (7.5e-4 on the probe batch either way) at fewer MXU passes.
+    mel = _dot_x3(power, fb_ref[:])
 
     # 4. Log-mel (shared by the dB branch and the MFCC branch).
     log_mel = _LOG10E_X10 * jnp.log(jnp.maximum(mel, _AMIN))
@@ -151,8 +185,12 @@ def _kernel(
         db = jnp.maximum(lm3, clip_max - top_db)
         mel_norm = jnp.clip((db + top_db) / top_db, 0.0, 1.0)
 
-    # 5. MFCC branch: DCT GEMM then per-clip unbiased z-norm.
-    mfcc = _dot(log_mel, dct_ref[:]).reshape(n_frames, B_TILE, n_mfcc)
+    # 5. MFCC branch: DCT GEMM then per-clip unbiased z-norm. Stays X6: the
+    # DCT is an oscillatory sum over ~|100| dB values (Σ|terms| >> |result|),
+    # where X3's error is relative to Σ|terms|, not the result. X3 measured
+    # parity-neutral on the r2 probe batch, but the ~1 ms it saves per 16k
+    # batch isn't worth spending the thin budget headroom (7.5e-4 of 1e-3).
+    mfcc = _dot_x6(log_mel, dct_ref[:]).reshape(n_frames, B_TILE, n_mfcc)
     n = n_frames * n_mfcc
     mean = jnp.mean(mfcc, axis=(0, 2), keepdims=True)
     var = jnp.sum((mfcc - mean) ** 2, axis=(0, 2), keepdims=True) / (n - 1)
@@ -233,6 +271,8 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    c_terms = _np_split3(np.asarray(c, np.float32))
+    s_terms = _np_split3(np.asarray(s, np.float32))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -241,8 +281,7 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
                 (B_TILE, padded_len), lambda i: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            const_spec((n_fft, n_used)),
-            const_spec((n_fft, n_used)),
+            *(const_spec((n_fft, n_used)) for _ in range(6)),
             const_spec((n_used, cfg.n_mels)),
             const_spec((cfg.n_mels, cfg.n_mfcc)),
         ],
@@ -260,7 +299,13 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
             bytes_accessed=b * (padded_len + n_frames * n_feat) * 4,
             transcendentals=b * n_frames * cfg.n_mels,
         ),
-    )(padded, jnp.asarray(c), jnp.asarray(s), jnp.asarray(fb), jnp.asarray(dct))
+    )(
+        padded,
+        *(jnp.asarray(t) for t in c_terms),
+        *(jnp.asarray(t) for t in s_terms),
+        jnp.asarray(fb),
+        jnp.asarray(dct),
+    )
     return jnp.transpose(out, (0, 2, 1))  # (B, F, T) reference layout
 
 
