@@ -231,3 +231,28 @@ class TestExtractSegments:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["scored"] is True
         assert rec["written"] == rec["candidates"] == 2
+
+
+class TestRootLaunchers:
+    """Every reference top-level script has a root launcher here
+    (reference repo root; docs/COMPONENT_MAP.md §2.7)."""
+
+    REFERENCE_SCRIPTS = [
+        "run_detection.py", "train_quick.py", "train_with_data.py",
+        "download_esc50.py", "prepare_data.py", "setup_data.py",
+        "setup_coughvid.py", "run_all.sh", "setup.sh",
+    ]
+
+    def test_all_present(self):
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        missing = [s for s in self.REFERENCE_SCRIPTS if not (root / s).exists()]
+        assert not missing, missing
+
+    def test_curation_launchers_reach_the_clis(self):
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parent.parent
+        assert "cli.prepare_data" in (root / "prepare_data.py").read_text()
+        assert "cli.setup_coughvid" in (root / "setup_coughvid.py").read_text()
