@@ -1,0 +1,86 @@
+"""Detection-server CLI: one batched on-device detector, many socket
+clients (serve/server.py — a production surface the reference lacks;
+serving capacity per chip is measured in BASELINE.md's sweep).
+
+    cdt-serve --model ./checkpoints/best_model --port 7717 --streams 256
+
+Prints one JSON line at startup with the bound address and slot capacity,
+then a JSON stats line every --stats-interval seconds until SIGINT.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Multi-stream cough detection server")
+    p.add_argument("--model", type=str, required=True,
+                   help="Checkpoint: Orbax dir or reference .pt")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7717)
+    p.add_argument("--streams", type=int, default=256,
+                   help="Stream slot capacity (fixed; static tick shapes)")
+    p.add_argument("--chunk-ms", type=float, default=100.0)
+    p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--smoothing", type=int, default=3)
+    p.add_argument("--debounce", type=float, default=0.5)
+    p.add_argument("--buffer-seconds", type=float, default=30.0)
+    p.add_argument("--tick-policy", choices=["timer", "eager"],
+                   default="timer")
+    p.add_argument("--precision-mode", choices=["high", "serve"],
+                   default="high",
+                   help='"serve" = opt-in mixed-precision classifier '
+                        "(docs/PARITY.md) for trained checkpoints")
+    p.add_argument("--stats-interval", type=float, default=10.0)
+    p.add_argument("--max-seconds", type=float, default=None,
+                   help="Exit after this long (smoke tests / supervisors)")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from ..serve import DetectionServer
+    from ..stream.detector import _load_any_checkpoint
+
+    variables, config = _load_any_checkpoint(args.model)
+    chunk_size = int(config.features.sample_rate * args.chunk_ms / 1000.0)
+    server = DetectionServer(
+        variables=variables,
+        config=config,
+        host=args.host,
+        port=args.port,
+        num_streams=args.streams,
+        chunk_size=chunk_size,
+        confidence_threshold=args.threshold,
+        smoothing_window=args.smoothing,
+        debounce_seconds=args.debounce,
+        tick_policy=args.tick_policy,
+        buffer_seconds=args.buffer_seconds,
+        precision_mode=args.precision_mode,
+    )
+    host, port = server.address[0], server.address[1]
+    print(json.dumps({
+        "serving": True, "host": host, "port": port,
+        "streams": args.streams, "chunk_ms": args.chunk_ms,
+        "model_type": config.model.model_type,
+    }), flush=True)
+
+    deadline = time.time() + args.max_seconds if args.max_seconds else None
+    with server:
+        try:
+            while deadline is None or time.time() < deadline:
+                time.sleep(min(args.stats_interval,
+                               max(0.0, (deadline - time.time()))
+                               if deadline else args.stats_interval) or 0.01)
+                print(json.dumps(server.stats()), flush=True)
+        except KeyboardInterrupt:
+            pass
+    print(json.dumps({"serving": False, **server.stats()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Client for the detection server (serve/server.py).
+
+Opens stream slots over one socket, sends PCM, and collects detection
+events on a reader thread:
+
+    with DetectionClient(host, port) as c:
+        sid = c.open_stream()
+        c.send_audio(sid, samples)         # float32 PCM at the model rate
+        for ev in c.events(timeout=1.0):   # {"stream", "time", "confidence"}
+            ...
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from . import protocol
+
+
+class ServerRefused(RuntimeError):
+    """The server sent an ERROR frame (e.g. no free stream slots)."""
+
+
+class DetectionClient:
+    def __init__(self, host: str, port: int, timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._events: "queue.Queue[dict]" = queue.Queue()
+        self._opened: "queue.Queue[tuple]" = queue.Queue()
+        self._closed = threading.Event()
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    # -- lifecycle -------------------------------------------------------
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- API -------------------------------------------------------------
+
+    def open_stream(self, timeout: float = 10.0) -> int:
+        self._sock.sendall(protocol.encode(protocol.OPEN))
+        kind, value = self._opened.get(timeout=timeout)
+        if kind == "error":
+            raise ServerRefused(value)
+        return value
+
+    def close_stream(self, stream: int) -> None:
+        self._sock.sendall(protocol.encode(protocol.CLOSE, stream))
+
+    def send_audio(self, stream: int, samples: np.ndarray) -> None:
+        self._sock.sendall(protocol.encode_audio(stream, samples))
+
+    def events(self, timeout: float = 0.0) -> List[dict]:
+        """Drain queued events; with timeout > 0, wait up to that long for
+        the first one."""
+        out: List[dict] = []
+        try:
+            out.append(self._events.get(timeout=timeout or None)
+                       if timeout else self._events.get_nowait())
+        except queue.Empty:
+            return out
+        while True:
+            try:
+                out.append(self._events.get_nowait())
+            except queue.Empty:
+                return out
+
+    # -- reader ----------------------------------------------------------
+
+    def _read_loop(self) -> None:
+        try:
+            while not self._closed.is_set():
+                frame = protocol.read_frame(self._sock)
+                if frame is None:
+                    return
+                if frame.type == protocol.OPENED:
+                    self._opened.put(("ok", frame.stream))
+                elif frame.type == protocol.ERROR:
+                    self._opened.put(("error", frame.payload.decode()))
+                elif frame.type == protocol.EVENT:
+                    ev = protocol.decode_event(frame)
+                    ev["stream"] = frame.stream
+                    self._events.put(ev)
+        except (ConnectionError, OSError):
+            pass

@@ -1,0 +1,100 @@
+"""Wire protocol for the multi-stream detection server.
+
+The reference has no network serving surface (its serving story is the
+in-process mic loop, reference: src/inference.py:250-451); this is the
+TPU-native production path: many clients feed PCM over sockets into one
+batched on-device detector (SURVEY.md §2.9 "stream-dim parallelism").
+
+Framing: a fixed 12-byte little-endian header, then the payload.
+
+    magic   u16  0x0CD7
+    type    u8   frame type (OPEN/OPENED/AUDIO/EVENT/CLOSE/ERROR)
+    flags   u8   reserved, 0
+    stream  u32  stream slot id (0 for OPEN)
+    length  u32  payload byte length
+
+Payloads: AUDIO carries float32le PCM samples; EVENT carries UTF-8 JSON
+{"time": seconds, "confidence": p}; ERROR carries a UTF-8 message; OPEN /
+OPENED / CLOSE are empty.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+MAGIC = 0x0CD7
+_HEADER = struct.Struct("<HBBII")
+HEADER_SIZE = _HEADER.size
+
+OPEN = 1      # client -> server: allocate a stream slot
+OPENED = 2    # server -> client: slot granted (stream field = slot id)
+AUDIO = 3     # client -> server: f32le PCM for the slot
+EVENT = 4     # server -> client: a detection on the slot
+CLOSE = 5     # client -> server: release the slot
+ERROR = 6     # server -> client: refusal / protocol error (then close)
+
+# Bound a single frame to 16 MiB: a malformed length can't balloon memory.
+MAX_PAYLOAD = 16 << 20
+
+
+class Frame(NamedTuple):
+    type: int
+    stream: int
+    payload: bytes
+
+
+def encode(type_: int, stream: int = 0, payload: bytes = b"") -> bytes:
+    if len(payload) > MAX_PAYLOAD:
+        raise ValueError(f"payload {len(payload)} exceeds {MAX_PAYLOAD}")
+    return _HEADER.pack(MAGIC, type_, 0, stream, len(payload)) + payload
+
+
+def encode_audio(stream: int, samples: np.ndarray) -> bytes:
+    return encode(AUDIO, stream, np.asarray(samples, np.float32).tobytes())
+
+
+def encode_event(stream: int, time_s: float, confidence: float) -> bytes:
+    body = json.dumps(
+        {"time": round(time_s, 6), "confidence": round(confidence, 6)}
+    ).encode()
+    return encode(EVENT, stream, body)
+
+
+def decode_event(frame: Frame) -> dict:
+    return json.loads(frame.payload.decode())
+
+
+def recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    """Read exactly n bytes, or None on orderly EOF before any byte."""
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None if not buf else bytes(buf)  # truncated counts too
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def read_frame(sock: socket.socket) -> Optional[Frame]:
+    """Blocking read of one frame; None on EOF. Raises on corruption."""
+    head = recv_exact(sock, HEADER_SIZE)
+    if head is None:
+        return None
+    if len(head) < HEADER_SIZE:
+        raise ConnectionError("truncated frame header")
+    magic, type_, _flags, stream, length = _HEADER.unpack(head)
+    if magic != MAGIC:
+        raise ConnectionError(f"bad magic 0x{magic:04x}")
+    if length > MAX_PAYLOAD:
+        raise ConnectionError(f"oversized frame ({length} bytes)")
+    payload = b""
+    if length:
+        payload = recv_exact(sock, length)
+        if payload is None or len(payload) < length:
+            raise ConnectionError("truncated frame payload")
+    return Frame(type_, stream, payload)

@@ -1,0 +1,176 @@
+"""Serving-daemon tests: loopback clients against DetectionServer.
+
+The device side is the same StreamingDetector exercised by test_stream.py;
+these tests pin the network tier: slot allocation, event routing, capacity
+refusal, disconnect cleanup, overflow accounting, and equivalence of
+server-delivered events with an in-process detector fed identical audio."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cough_detector_tpu.config import default_config
+from cough_detector_tpu.data import synth
+from cough_detector_tpu.models import create_model, init_model
+from cough_detector_tpu.serve import (
+    DetectionClient,
+    DetectionServer,
+    ServerRefused,
+)
+from cough_detector_tpu.stream.detector import StreamingDetector
+
+import jax
+
+CHUNK = 1600
+
+
+@pytest.fixture(scope="module")
+def model_and_config():
+    cfg = default_config("small")
+    model = create_model("small")
+    variables = init_model(
+        model, jax.random.PRNGKey(0), cfg.features.feature_shape
+    )
+    return variables, cfg
+
+
+def _make_server(model_and_config, **kw):
+    variables, cfg = model_and_config
+    kw.setdefault("num_streams", 4)
+    kw.setdefault("chunk_size", CHUNK)
+    kw.setdefault("confidence_threshold", 0.0)  # every window fires
+    kw.setdefault("debounce_seconds", 0.5)
+    kw.setdefault("tick_policy", "eager")
+    kw.setdefault("mesh", False)
+    return DetectionServer(variables=variables, config=cfg, **kw)
+
+
+def _wait(predicate, timeout=20.0, dt=0.02):
+    end = time.time() + timeout
+    while time.time() < end:
+        if predicate():
+            return True
+        time.sleep(dt)
+    return False
+
+
+class TestProtocolSurface:
+    def test_open_assigns_distinct_slots(self, model_and_config):
+        with _make_server(model_and_config) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                slots = {c.open_stream() for _ in range(4)}
+                assert len(slots) == 4
+
+    def test_capacity_refusal(self, model_and_config):
+        with _make_server(model_and_config, num_streams=4) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                for _ in range(4):
+                    c.open_stream()
+                with pytest.raises(ServerRefused):
+                    c.open_stream()
+                assert srv.stats()["refused"] == 1
+
+    def test_disconnect_frees_slots(self, model_and_config):
+        with _make_server(model_and_config, num_streams=2) as srv:
+            host, port = srv.address
+            c1 = DetectionClient(*srv.address)
+            c1.open_stream()
+            c1.open_stream()
+            c1.close()
+            assert _wait(lambda: srv.stats()["open_streams"] == 0)
+            with DetectionClient(host, port) as c2:
+                assert c2.open_stream() in (0, 1)
+
+    def test_overflow_drops_oldest_and_counts(self, model_and_config):
+        with _make_server(
+            model_and_config, buffer_seconds=0.5, tick_policy="timer",
+            num_streams=2,
+        ) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                # 4 s of audio in 0.2 s frames into a 0.5 s buffer; ticks
+                # drain 0.1 s each ~0.1 s, so most frames must be
+                # dropped-oldest and counted.
+                for _ in range(20):
+                    c.send_audio(sid, np.zeros(3200, np.float32))
+                assert _wait(lambda: srv.stats()["dropped_samples"] > 0)
+
+
+class TestDetectionDelivery:
+    def test_events_match_in_process_detector(self, model_and_config):
+        variables, cfg = model_and_config
+        wave = np.concatenate([
+            synth.synthetic_cough(7, 1.5),
+            np.zeros(8000, np.float32),
+        ])
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+
+        ref = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        expected = ref.process_chunk(wave)
+        assert expected, "fixture should produce detections"
+
+        with _make_server(model_and_config) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                got = c.events(timeout=5.0)
+        assert len(got) == len(expected)
+        for ev, exp in zip(got, expected):
+            assert ev["stream"] == sid
+            assert ev["time"] == pytest.approx(exp.time_seconds, abs=1e-6)
+            assert ev["confidence"] == pytest.approx(
+                exp.confidence, rel=1e-4
+            )
+
+    def test_two_clients_isolated_streams(self, model_and_config):
+        wave = synth.synthetic_cough(3, 1.5)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        with _make_server(model_and_config, num_streams=2) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as ca, \
+                 DetectionClient(host, port) as cb:
+                sa = ca.open_stream()
+                sb = cb.open_stream()
+                for t in range(n_chunks):
+                    ca.send_audio(sa, wave[t * CHUNK : (t + 1) * CHUNK])
+                    cb.send_audio(sb, np.zeros(CHUNK, np.float32))
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                evs_a = ca.events(timeout=5.0)
+                evs_b = cb.events()
+        # threshold 0 fires on every debounced window for BOTH streams,
+        # but each client must only see its own stream id.
+        assert evs_a and all(e["stream"] == sa for e in evs_a)
+        assert all(e["stream"] == sb for e in evs_b)
+
+    def test_cli_smoke(self, model_and_config, tmp_path, capsys):
+        import json
+
+        variables, cfg = model_and_config
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        from cough_detector_tpu.cli import serve as serve_cli
+
+        serve_cli.main([
+            "--model", str(pt), "--port", "0",
+            "--streams", "2", "--max-seconds", "0.5",
+            "--stats-interval", "0.2",
+        ])
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert lines[0]["serving"] is True
+        assert lines[-1]["serving"] is False
