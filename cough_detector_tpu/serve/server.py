@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import socket
 import threading
+import time
 from collections import deque
 from typing import Dict, List, Optional
 
@@ -134,6 +135,7 @@ class DetectionServer:
             "ticks": 0, "events": 0, "dropped_samples": 0,
             "connections": 0, "refused": 0,
         }
+        self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
@@ -176,7 +178,12 @@ class DetectionServer:
     def stats(self) -> dict:
         with self._reg_lock:
             open_slots = len(self._slots)
-        return {**self._stats, "open_streams": open_slots}
+        out = {**self._stats, "open_streams": open_slots}
+        if self._tick_times:
+            arr = np.asarray(self._tick_times)
+            out["tick_ms_p50"] = round(float(np.percentile(arr, 50)) * 1e3, 3)
+            out["tick_ms_p99"] = round(float(np.percentile(arr, 99)) * 1e3, 3)
+        return out
 
     # -- network side ----------------------------------------------------
 
@@ -281,7 +288,9 @@ class DetectionServer:
             live = dict(self._slots)
         for slot_id, slot in live.items():
             chunk[slot_id] = slot.pull(self.chunk_size)
+        t0 = time.perf_counter()
         detections = self._detector.process_chunk(chunk)
+        self._tick_times.append(time.perf_counter() - t0)
         self._stats["ticks"] += 1
         for det in detections:
             slot = live.get(det.stream)
