@@ -17,6 +17,13 @@ Failure containment: per-slot buffers are bounded (default 30 s); overflow
 drops the OLDEST audio and counts it (`stats()["dropped_samples"]`) — the
 quarantine-with-counts convention (docs/PARITY.md divergence #4). Protocol
 violations close only the offending connection.
+
+Scale note: the DEVICE side sustains ~16k real-time streams/chip
+(BASELINE.md sweep, measured on the in-process engine); this daemon's
+host side (Python socket readers + per-tick slot assembly) is the
+binding constraint well before that. For >~1k streams per host, run
+several daemons behind a load balancer or embed `StreamingDetector`
+directly in a native frontend — the device tick is shared either way.
 """
 
 from __future__ import annotations
@@ -136,6 +143,7 @@ class DetectionServer:
             "connections": 0, "refused": 0,
         }
         self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
+        self._stats_lock = threading.Lock()  # counters touched by N threads
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
@@ -178,7 +186,8 @@ class DetectionServer:
     def stats(self) -> dict:
         with self._reg_lock:
             open_slots = len(self._slots)
-        out = {**self._stats, "open_streams": open_slots}
+        with self._stats_lock:
+            out = {**self._stats, "open_streams": open_slots}
         if self._tick_times:
             arr = np.asarray(self._tick_times)
             out["tick_ms_p50"] = round(float(np.percentile(arr, 50)) * 1e3, 3)
@@ -193,7 +202,8 @@ class DetectionServer:
                 sock, addr = self._listener.accept()
             except OSError:
                 return  # listener closed
-            self._stats["connections"] += 1
+            with self._stats_lock:
+                self._stats["connections"] += 1
             client = _Client(sock, addr)
             t = threading.Thread(
                 target=self._client_loop, args=(client,), daemon=True
@@ -216,7 +226,8 @@ class DetectionServer:
         if frame.type == protocol.OPEN:
             with self._reg_lock:
                 if not self._free:
-                    self._stats["refused"] += 1
+                    with self._stats_lock:
+                        self._stats["refused"] += 1
                     client.send(
                         protocol.encode(
                             protocol.ERROR, 0, b"no free stream slots"
@@ -232,9 +243,10 @@ class DetectionServer:
             if slot is None or slot.owner is not client:
                 raise ConnectionError(f"AUDIO for unowned slot {frame.stream}")
             samples = np.frombuffer(frame.payload, np.float32)
-            self._stats["dropped_samples"] += slot.push(
-                samples.copy(), self._buffer_cap
-            )
+            dropped = slot.push(samples.copy(), self._buffer_cap)
+            if dropped:
+                with self._stats_lock:
+                    self._stats["dropped_samples"] += dropped
         elif frame.type == protocol.CLOSE:
             self._release_slot(client, frame.stream)
         else:
@@ -291,12 +303,14 @@ class DetectionServer:
         t0 = time.perf_counter()
         detections = self._detector.process_chunk(chunk)
         self._tick_times.append(time.perf_counter() - t0)
-        self._stats["ticks"] += 1
+        with self._stats_lock:
+            self._stats["ticks"] += 1
         for det in detections:
             slot = live.get(det.stream)
             if slot is None:
                 continue  # slot released mid-tick; stale event
-            self._stats["events"] += 1
+            with self._stats_lock:
+                self._stats["events"] += 1
             try:
                 slot.owner.send(
                     protocol.encode_event(
