@@ -272,9 +272,36 @@ def spectral_contrast(
     fixed-shape ops.
     """
     n_freqs = cfg.n_fft // 2 + 1
-    spec = power_spectrogram(
-        waveform, cfg.n_fft, cfg.hop_length, cfg.win_length, method=method
-    )
+    if method == "gemm":
+        # The contrast bands and the centroid need two full-spectrum STFTs
+        # that differ ONLY in window (win_length Hann vs n_fft Hann) — the
+        # frames are identical. Fuse all four DFT projections into one
+        # matmul over one frames tensor: one pass of M, ~25% less lane
+        # padding (4x257 columns pad jointly, not per-matrix), and HIGH
+        # precision (3 passes, not HIGHEST's 6) — safe here because the
+        # contrast stages are log1p/means, with none of the near-zero dB
+        # amplification that forces X6 in the mel path (docs/PARITY.md;
+        # measured on chip: hybrid all-flags parity holds).
+        frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length)
+        c4, s4 = filters.dft_matrices(cfg.n_fft, cfg.win_length)
+        c5, s5 = filters.dft_matrices(cfg.n_fft, cfg.n_fft)
+        big = jnp.asarray(np.concatenate([c4, s4, c5, s5], axis=1))
+        out = jnp.matmul(
+            frames, big, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )
+        re4, im4, re5, im5 = jnp.split(out, 4, axis=2)
+        spec = re4 * re4 + im4 * im4
+        mag = jnp.sqrt(re5 * re5 + im5 * im5)
+    else:
+        spec = power_spectrogram(
+            waveform, cfg.n_fft, cfg.hop_length, cfg.win_length,
+            method=method,
+        )
+        mag = power_spectrogram(
+            waveform, cfg.n_fft, cfg.hop_length, cfg.n_fft, power=1.0,
+            method=method,
+        )
     t = spec.shape[1]
     n_bands = cfg.n_contrast_bands
 
@@ -305,13 +332,9 @@ def spectral_contrast(
         valleys = jnp.mean(sb[:, :, :bot_idx], axis=2)
         rows.append(jnp.log1p(peaks) - jnp.log1p(valleys))
 
-    # Spectral centroid over a full-n_fft-window magnitude spectrogram —
-    # torchaudio SpectralCentroid defaults win_length=n_fft, power=1
-    # (reference: src/preprocessing.py:137-141).
-    mag = power_spectrogram(
-        waveform, cfg.n_fft, cfg.hop_length, cfg.n_fft, power=1.0,
-        method=method,
-    )
+    # Spectral centroid over a full-n_fft-window magnitude spectrogram
+    # (`mag` above) — torchaudio SpectralCentroid defaults
+    # win_length=n_fft, power=1 (reference: src/preprocessing.py:137-141).
     freqs = jnp.asarray(
         np.linspace(0, cfg.sample_rate // 2, n_freqs, dtype=np.float32)
     )
