@@ -105,13 +105,25 @@ def frame_signal(
         half = n_fft // 2
         waveform = jnp.pad(waveform, [(0, 0), (half, half)], mode="reflect")
     n_frames = (waveform.shape[-1] - n_fft) // hop_length + 1
-    # Static gather index map: (n_frames, n_fft). XLA lowers this to an
-    # efficient strided gather; inside the Pallas kernel the equivalent is
-    # direct VMEM slicing.
-    idx = (
-        np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    )
-    return waveform[:, idx]
+    # Block decomposition: reshape to hop-sized blocks, then frame t is
+    # ceil(n_fft/hop)+1 consecutive block slices concatenated — a handful
+    # of wide contiguous ops, fast to compile. Measured r2 on v5e at
+    # (8192, 101, 512): standalone-equal to the previous (n_frames, n_fft)
+    # fancy-index gather (13.8 vs 14.5 ms — XLA lowered that static gather
+    # acceptably), but this form can't regress into the per-row-gather
+    # trap (CLAUDE.md), and the per-frame 101-way stack alternative
+    # compiles pathologically slowly. Inside the Pallas kernel the
+    # equivalent is direct VMEM slicing.
+    k, r = divmod(n_fft, hop_length)
+    n_blocks = n_frames + k + (1 if r else 0)
+    pad = n_blocks * hop_length - waveform.shape[-1]
+    if pad > 0:
+        waveform = jnp.pad(waveform, [(0, 0), (0, pad)])
+    blocks = waveform.reshape(waveform.shape[0], n_blocks, hop_length)
+    parts = [blocks[:, t : t + n_frames] for t in range(k)]
+    if r:
+        parts.append(blocks[:, k : k + n_frames, :r])
+    return jnp.concatenate(parts, axis=2)
 
 
 def power_spectrogram(
