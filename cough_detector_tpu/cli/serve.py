@@ -63,14 +63,16 @@ def main(argv=None) -> None:
         precision_mode=args.precision_mode,
     )
     host, port = server.address[0], server.address[1]
-    print(json.dumps({
-        "serving": True, "host": host, "port": port,
-        "streams": args.streams, "chunk_ms": args.chunk_ms,
-        "model_type": config.model.model_type,
-    }), flush=True)
-
     deadline = time.time() + args.max_seconds if args.max_seconds else None
     with server:
+        # The readiness line prints only AFTER start() returns — i.e. after
+        # the tick program has compiled and the accept loop is live — so a
+        # supervisor reading it can immediately open streams.
+        print(json.dumps({
+            "serving": True, "host": host, "port": port,
+            "streams": args.streams, "chunk_ms": args.chunk_ms,
+            "model_type": config.model.model_type,
+        }), flush=True)
         try:
             while deadline is None or time.time() < deadline:
                 time.sleep(min(args.stats_interval,

@@ -8,9 +8,10 @@ z-norm → delta features — without ever materializing the (B, 101, 512)
 frame tensor in HBM (the XLA-path's dominant memory cost).
 
 Design notes (pallas_guide.md):
-  * All FLOPs are MXU matmuls over f32 with HIGHEST precision — the
-    DFT-as-GEMM formulation (cf. MelT, PAPERS.md) at n_fft=512 maps
-    straight onto the 128x128 systolic array.
+  * All FLOPs are MXU matmuls via manual bf16 splitting — X6 for the
+    DFT and DCT, X3 for the all-positive mel projection (see the per-site
+    comments) — the DFT-as-GEMM formulation (cf. MelT, PAPERS.md) at
+    n_fft=512 maps straight onto the 128x128 systolic array.
   * Frames are laid out time-major ((t*8+b) rows) so each of the 101 frame
     copies is one contiguous (8, 512) VMEM write.
   * Per-clip reductions (dB clamp max, MFCC mean/var) reduce over the
@@ -53,16 +54,8 @@ B_TILE = 16
 # implemented manually below (six native bf16 MXU passes) so it works
 # identically under Mosaic and in interpret mode.
 
-_PREC = jax.lax.Precision.HIGHEST
 _AMIN = 1e-10
 _LOG10E_X10 = float(10.0 / np.log(10.0))
-
-
-def _dot(a, b, algo=_PREC):
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=algo,
-    )
 
 
 def _split3(x):

@@ -29,8 +29,15 @@ class ServerRefused(RuntimeError):
 class DetectionClient:
     def __init__(self, host: str, port: int, timeout: float = 10.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        # The connect timeout must NOT persist as the recv timeout: events
+        # are legitimately rare (idle mics), and a timed-out recv would
+        # kill the reader thread silently.
+        self._sock.settimeout(None)
         self._events: "queue.Queue[dict]" = queue.Queue()
         self._opened: "queue.Queue[tuple]" = queue.Queue()
+        self._pending_opens = 0
+        self._pending_lock = threading.Lock()
+        self.server_errors: list = []  # ERROR frames outside a handshake
         self._closed = threading.Event()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
@@ -39,6 +46,13 @@ class DetectionClient:
 
     def close(self) -> None:
         self._closed.set()
+        try:
+            # shutdown() before close(): close() alone cannot send FIN (or
+            # wake our reader) while the reader thread is blocked in recv —
+            # the kernel holds the fd until that recv returns.
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._sock.close()
         except OSError:
@@ -53,6 +67,8 @@ class DetectionClient:
     # -- API -------------------------------------------------------------
 
     def open_stream(self, timeout: float = 10.0) -> int:
+        with self._pending_lock:
+            self._pending_opens += 1
         self._sock.sendall(protocol.encode(protocol.OPEN))
         kind, value = self._opened.get(timeout=timeout)
         if kind == "error":
@@ -89,9 +105,21 @@ class DetectionClient:
                 if frame is None:
                     return
                 if frame.type == protocol.OPENED:
+                    with self._pending_lock:
+                        self._pending_opens -= 1
                     self._opened.put(("ok", frame.stream))
                 elif frame.type == protocol.ERROR:
-                    self._opened.put(("error", frame.payload.decode()))
+                    # Only a pending open_stream() may consume an ERROR as
+                    # its refusal; out-of-band errors (protocol verdicts)
+                    # must not poison a later handshake.
+                    with self._pending_lock:
+                        pending = self._pending_opens
+                        if pending > 0:
+                            self._pending_opens -= 1
+                    if pending > 0:
+                        self._opened.put(("error", frame.payload.decode()))
+                    else:
+                        self.server_errors.append(frame.payload.decode())
                 elif frame.type == protocol.EVENT:
                     ev = protocol.decode_event(frame)
                     ev["stream"] = frame.stream

@@ -8,15 +8,28 @@ one SPMD program per tick regardless of client count (SURVEY.md §2.9; the
 reference has no serving daemon to mirror).
 
 Tick policies:
-  * "timer" (production): a ticker thread fires every chunk duration,
+  * "timer" (production): the ticker fires on an absolute-deadline schedule
+    (every chunk duration of wall time, independent of processing time),
     zero-filling slots that have no buffered audio. Real-time cadence.
   * "eager" (tests / offline drains): tick whenever every OPEN slot has a
     full chunk buffered; deterministic, runs as fast as the device allows.
 
-Failure containment: per-slot buffers are bounded (default 30 s); overflow
-drops the OLDEST audio and counts it (`stats()["dropped_samples"]`) — the
-quarantine-with-counts convention (docs/PARITY.md divergence #4). Protocol
-violations close only the offending connection.
+Isolation and containment:
+  * Slot reuse is clean: when a slot is granted, its device-side state
+    rows (ring buffer, smoothing history, debounce clock) are zeroed on
+    the tick thread before any of the new tenant's audio is scored, event
+    timestamps are reported relative to the slot's own open time, and
+    events from windows that overlap pre-open zero padding (the lockstep
+    clock emits windows immediately) are suppressed.
+  * Per-slot audio buffers are bounded (default 30 s); overflow drops the
+    OLDEST audio and counts it (`stats()["dropped_samples"]`) — the
+    quarantine-with-counts convention (docs/PARITY.md divergence #4).
+  * Outbound frames go through bounded per-client queues drained by a
+    writer thread, so one stalled client can NEVER block the tick loop;
+    events to a full queue are dropped and counted
+    (`stats()["events_dropped"]`).
+  * Protocol violations get a best-effort ERROR frame, then only the
+    offending connection is closed.
 
 Scale note: the DEVICE side sustains ~16k real-time streams/chip
 (BASELINE.md sweep, measured on the in-process engine); this daemon's
@@ -28,6 +41,7 @@ directly in a native frontend — the device tick is shared either way.
 
 from __future__ import annotations
 
+import queue
 import socket
 import threading
 import time
@@ -41,14 +55,19 @@ from ..stream.detector import StreamingDetector
 from . import protocol
 
 
-class _Slot:
-    __slots__ = ("owner", "buffer", "buffered", "lock")
+class _ProtocolViolation(ConnectionError):
+    """Client broke the wire contract; reply ERROR and drop it."""
 
-    def __init__(self, owner: "_Client"):
+
+class _Slot:
+    __slots__ = ("owner", "buffer", "buffered", "lock", "open_sample")
+
+    def __init__(self, owner: "_Client", open_sample: int):
         self.owner = owner
         self.buffer: deque = deque()          # of np.float32 arrays
         self.buffered = 0                     # total samples queued
         self.lock = threading.Lock()
+        self.open_sample = open_sample        # server stream-sample at OPEN
 
     def push(self, samples: np.ndarray, cap: int) -> int:
         """Queue samples; returns how many OLD samples were dropped."""
@@ -81,15 +100,54 @@ class _Slot:
 
 
 class _Client:
+    """One connection: a reader loop (server-driven) plus a writer thread
+    draining a bounded outbox, so sends never block the tick loop."""
+
+    OUTBOX_FRAMES = 1024
+
     def __init__(self, sock: socket.socket, addr):
         self.sock = sock
         self.addr = addr
         self.slots: List[int] = []
-        self.send_lock = threading.Lock()
+        self.outbox: "queue.Queue[Optional[bytes]]" = queue.Queue(
+            maxsize=self.OUTBOX_FRAMES
+        )
+        self.writer = threading.Thread(target=self._write_loop, daemon=True)
+        self.writer.start()
 
-    def send(self, data: bytes) -> None:
-        with self.send_lock:
-            self.sock.sendall(data)
+    def send(self, data: bytes) -> bool:
+        """Enqueue a frame; False (dropped) if the client isn't draining."""
+        try:
+            self.outbox.put_nowait(data)
+            return True
+        except queue.Full:
+            return False
+
+    def close(self) -> None:
+        try:
+            self.outbox.put_nowait(None)  # writer exits after the sentinel
+        except queue.Full:
+            pass  # writer is stuck in sendall; the shutdown unblocks it
+        try:
+            # shutdown() wakes any thread blocked in recv/sendall on this
+            # socket; close() alone leaves them stuck (kernel holds the fd).
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _write_loop(self) -> None:
+        try:
+            while True:
+                data = self.outbox.get()
+                if data is None:
+                    return
+                self.sock.sendall(data)
+        except (ConnectionError, OSError):
+            return
 
 
 class DetectionServer:
@@ -130,17 +188,20 @@ class DetectionServer:
         )
         self.num_streams = num_streams
         self.chunk_size = chunk_size
-        sr = self._detector.config.features.sample_rate
-        self._tick_seconds = chunk_size / sr
-        self._buffer_cap = max(chunk_size, int(buffer_seconds * sr))
+        self._sample_rate = self._detector.config.features.sample_rate
+        self._tick_seconds = chunk_size / self._sample_rate
+        self._buffer_cap = max(chunk_size, int(buffer_seconds * self._sample_rate))
         self._tick_policy = tick_policy
 
         self._slots: Dict[int, _Slot] = {}
         self._free = list(range(num_streams - 1, -1, -1))
         self._reg_lock = threading.Lock()
+        # Slots granted but not yet state-scrubbed; the tick thread zeroes
+        # their device rows before pulling any of their audio.
+        self._pending_resets: List[int] = []
         self._stats = {
-            "ticks": 0, "events": 0, "dropped_samples": 0,
-            "connections": 0, "refused": 0,
+            "ticks": 0, "events": 0, "events_dropped": 0,
+            "dropped_samples": 0, "connections": 0, "refused": 0,
         }
         self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
         self._stats_lock = threading.Lock()  # counters touched by N threads
@@ -183,15 +244,19 @@ class DetectionServer:
     def __exit__(self, *exc):
         self.stop()
 
+    def _bump(self, key: str, n: int = 1) -> None:
+        with self._stats_lock:
+            self._stats[key] += n
+
     def stats(self) -> dict:
         with self._reg_lock:
             open_slots = len(self._slots)
         with self._stats_lock:
             out = {**self._stats, "open_streams": open_slots}
-        if self._tick_times:
-            arr = np.asarray(self._tick_times)
-            out["tick_ms_p50"] = round(float(np.percentile(arr, 50)) * 1e3, 3)
-            out["tick_ms_p99"] = round(float(np.percentile(arr, 99)) * 1e3, 3)
+            ticks = np.asarray(self._tick_times)
+        if ticks.size:
+            out["tick_ms_p50"] = round(float(np.percentile(ticks, 50)) * 1e3, 3)
+            out["tick_ms_p99"] = round(float(np.percentile(ticks, 99)) * 1e3, 3)
         return out
 
     # -- network side ----------------------------------------------------
@@ -202,8 +267,7 @@ class DetectionServer:
                 sock, addr = self._listener.accept()
             except OSError:
                 return  # listener closed
-            with self._stats_lock:
-                self._stats["connections"] += 1
+            self._bump("connections")
             client = _Client(sock, addr)
             t = threading.Thread(
                 target=self._client_loop, args=(client,), daemon=True
@@ -217,6 +281,9 @@ class DetectionServer:
                 if frame is None:
                     return
                 self._handle(client, frame)
+        except _ProtocolViolation as err:
+            client.send(protocol.encode(protocol.ERROR, 0, str(err).encode()))
+            time.sleep(0.05)  # give the writer a beat to flush the verdict
         except (ConnectionError, OSError):
             pass
         finally:
@@ -225,32 +292,44 @@ class DetectionServer:
     def _handle(self, client: _Client, frame: protocol.Frame) -> None:
         if frame.type == protocol.OPEN:
             with self._reg_lock:
-                if not self._free:
-                    with self._stats_lock:
-                        self._stats["refused"] += 1
-                    client.send(
-                        protocol.encode(
-                            protocol.ERROR, 0, b"no free stream slots"
-                        )
+                if self._free:
+                    slot_id = self._free.pop()
+                    # open_sample is provisional: the tick thread pins it
+                    # exactly when it scrubs the slot (the tick boundary
+                    # where this tenant's audio stream actually begins).
+                    self._slots[slot_id] = _Slot(
+                        client, self._stats["ticks"] * self.chunk_size
                     )
-                    return
-                slot_id = self._free.pop()
-                self._slots[slot_id] = _Slot(client)
-                client.slots.append(slot_id)
-            client.send(protocol.encode(protocol.OPENED, slot_id))
+                    client.slots.append(slot_id)
+                    self._pending_resets.append(slot_id)
+                else:
+                    slot_id = None
+            if slot_id is None:
+                self._bump("refused")
+                client.send(
+                    protocol.encode(protocol.ERROR, 0, b"no free stream slots")
+                )
+            else:
+                client.send(protocol.encode(protocol.OPENED, slot_id))
         elif frame.type == protocol.AUDIO:
             slot = self._slots.get(frame.stream)
             if slot is None or slot.owner is not client:
-                raise ConnectionError(f"AUDIO for unowned slot {frame.stream}")
+                raise _ProtocolViolation(
+                    f"AUDIO for unowned slot {frame.stream}"
+                )
+            if len(frame.payload) % 4:
+                raise _ProtocolViolation(
+                    f"AUDIO payload not float32-aligned "
+                    f"({len(frame.payload)} bytes)"
+                )
             samples = np.frombuffer(frame.payload, np.float32)
             dropped = slot.push(samples.copy(), self._buffer_cap)
             if dropped:
-                with self._stats_lock:
-                    self._stats["dropped_samples"] += dropped
+                self._bump("dropped_samples", dropped)
         elif frame.type == protocol.CLOSE:
             self._release_slot(client, frame.stream)
         else:
-            raise ConnectionError(f"unexpected frame type {frame.type}")
+            raise _ProtocolViolation(f"unexpected frame type {frame.type}")
 
     def _release_slot(self, client: _Client, slot_id: int) -> None:
         with self._reg_lock:
@@ -264,10 +343,7 @@ class DetectionServer:
     def _release_client(self, client: _Client) -> None:
         for slot_id in list(client.slots):
             self._release_slot(client, slot_id)
-        try:
-            client.sock.close()
-        except OSError:
-            pass
+        client.close()
 
     # -- device side -----------------------------------------------------
 
@@ -279,43 +355,74 @@ class DetectionServer:
         )
 
     def _tick_loop(self) -> None:
-        while not self._stop.is_set():
-            if self._tick_policy == "eager":
-                if not self._ready():
+        if self._tick_policy == "eager":
+            while not self._stop.is_set():
+                if self._ready():
+                    self._tick_once()
+                else:
                     self._stop.wait(0.001)
-                    continue
-            else:
-                self._stop.wait(self._tick_seconds)
-                if self._stop.is_set():
+            return
+        # Timer mode: absolute deadlines, so the cadence is tick_seconds of
+        # WALL time — processing time doesn't stretch the period (a fixed
+        # post-tick sleep would run ~(tick+processing) and fall behind real
+        # time forever). If we're more than one period late (e.g. a client
+        # burst or scheduler stall), resync rather than spiral.
+        next_t = time.monotonic() + self._tick_seconds
+        while not self._stop.is_set():
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                if self._stop.wait(delay):
                     return
-                with self._reg_lock:
-                    any_open = bool(self._slots)
-                if not any_open:
-                    continue
-            self._tick_once()
+            next_t += self._tick_seconds
+            if next_t < time.monotonic() - self._tick_seconds:
+                next_t = time.monotonic() + self._tick_seconds
+            with self._reg_lock:
+                any_open = bool(self._slots)
+            if any_open:
+                self._tick_once()
 
     def _tick_once(self) -> None:
         chunk = np.zeros((self.num_streams, self.chunk_size), np.float32)
         with self._reg_lock:
             live = dict(self._slots)
+            resets = self._pending_resets
+            self._pending_resets = []
+        # Scrub reused slots BEFORE pulling their audio: their rows still
+        # hold the previous tenant's ring/history/debounce state, and this
+        # thread is the only one touching detector state (reset_streams is
+        # not safe against a concurrent process_chunk).
+        if resets:
+            self._detector.reset_streams(resets)
+            start_sample = self._stats["ticks"] * self.chunk_size
+            for sid in resets:
+                slot = live.get(sid)
+                if slot is not None:
+                    slot.open_sample = start_sample
         for slot_id, slot in live.items():
             chunk[slot_id] = slot.pull(self.chunk_size)
         t0 = time.perf_counter()
         detections = self._detector.process_chunk(chunk)
-        self._tick_times.append(time.perf_counter() - t0)
         with self._stats_lock:
+            self._tick_times.append(time.perf_counter() - t0)
             self._stats["ticks"] += 1
+        window_s = self._detector.stream_config.window_duration
         for det in detections:
             slot = live.get(det.stream)
             if slot is None:
                 continue  # slot released mid-tick; stale event
-            with self._stats_lock:
-                self._stats["events"] += 1
-            try:
-                slot.owner.send(
-                    protocol.encode_event(
-                        det.stream, det.time_seconds, det.confidence
-                    )
-                )
-            except OSError:
-                pass  # client went away; its slots release on reader exit
+            # Report time relative to the slot's own open, not server
+            # uptime (both sides are exact integer sample counts).
+            t_rel = det.time_seconds - slot.open_sample / self._sample_rate
+            # All slots share the lockstep window clock, so a slot opened
+            # mid-stream emits windows immediately — zero-padded until a
+            # full window of the tenant's own audio exists. Those windows
+            # scored synthetic silence, not the tenant's signal: suppress
+            # them (a fresh single stream would not have emitted them).
+            if t_rel < window_s - 1e-9:
+                continue
+            if slot.owner.send(
+                protocol.encode_event(det.stream, t_rel, det.confidence)
+            ):
+                self._bump("events")
+            else:
+                self._bump("events_dropped")

@@ -154,6 +154,23 @@ class StreamingDetector:
             )
         self._pending = np.zeros((self.num_streams, 0), np.float32)
 
+    def reset_streams(self, indices) -> None:
+        """Zero the per-stream state rows (ring buffer, smoothing history,
+        debounce clock, pending host samples) for the given stream lanes,
+        leaving the shared lockstep counters untouched. Used by the serving
+        daemon when a slot is handed to a new tenant, so the previous
+        tenant's audio can't leak into the newcomer's first windows nor its
+        last detection debounce theirs. NOT thread-safe with a concurrent
+        process_chunk — callers serialize on the tick (serve/server.py)."""
+        idx = jnp.asarray(list(indices), jnp.int32)
+        st = self._state
+        self._state = st._replace(
+            buffer=st.buffer.at[idx].set(0.0),
+            history=st.history.at[idx].set(0.0),
+            last_fire_window=st.last_fire_window.at[idx].set(-(1 << 24)),
+        )
+        self._pending[np.asarray(idx)] = 0.0
+
     def process_chunk(self, chunk: np.ndarray) -> List[Detection]:
         """Feed (num_streams, n) or (n,) samples; n need not equal
         chunk_size — data is re-chunked internally (host side)."""

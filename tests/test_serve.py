@@ -174,3 +174,94 @@ class TestDetectionDelivery:
                  capsys.readouterr().out.strip().splitlines()]
         assert lines[0]["serving"] is True
         assert lines[-1]["serving"] is False
+
+
+class TestIsolationAndRecovery:
+    def test_reset_streams_scrubs_only_the_given_lanes(self, model_and_config):
+        """Engine-level: reset_streams zeroes the slot's ring buffer,
+        smoothing history and debounce clock without touching other lanes
+        or the shared lockstep counters."""
+        variables, cfg = model_and_config
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        wave = synth.synthetic_cough(5, 1.5)
+        n = (wave.size // CHUNK) * CHUNK
+        both = np.stack([wave[:n], wave[:n] * 0.5])
+        det.process_chunk(both)
+        st = det._state
+        assert float(np.abs(np.asarray(st.buffer[0])).max()) > 0
+        windows_before = int(st.windows_emitted)
+
+        det.reset_streams([0])
+        st = det._state
+        assert float(np.abs(np.asarray(st.buffer[0])).max()) == 0.0
+        assert float(np.abs(np.asarray(st.history[0])).max()) == 0.0
+        assert int(st.last_fire_window[0]) == -(1 << 24)
+        # lane 1 and the shared clocks are untouched
+        assert float(np.abs(np.asarray(st.buffer[1])).max()) > 0
+        assert int(st.windows_emitted) == windows_before
+
+    def test_slot_reuse_is_retimed_and_padding_windows_suppressed(
+        self, model_and_config
+    ):
+        """A reused slot reports times relative to its own open, and the
+        zero-padded windows that precede one full window of the tenant's
+        own audio never surface as events."""
+        wave = synth.synthetic_cough(5, 1.5)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        window_s = 1.0
+        hop_s = 0.25
+
+        with _make_server(model_and_config, num_streams=1) as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as ca:
+                sa = ca.open_stream()
+                for t in range(n_chunks):
+                    ca.send_audio(sa, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                evs_a = ca.events(timeout=5.0)
+            assert _wait(lambda: srv.stats()["open_streams"] == 0)
+
+            with DetectionClient(host, port) as cb:
+                sb = cb.open_stream()
+                assert sb == sa  # same slot, reused mid-stream
+                for t in range(n_chunks):
+                    cb.send_audio(sb, wave[t * CHUNK : (t + 1) * CHUNK])
+                target = srv.stats()["ticks"] + n_chunks
+                assert _wait(lambda: srv.stats()["ticks"] >= target)
+                evs_b = cb.events(timeout=5.0)
+
+        assert evs_a and evs_b
+        for evs in (evs_a, evs_b):
+            for e in evs:
+                # no event from a window overlapping pre-open padding...
+                assert e["time"] >= window_s - 1e-9
+                # ...and times sit on the slot-relative hop grid.
+                assert (e["time"] / hop_s) == pytest.approx(
+                    round(e["time"] / hop_s), abs=1e-6
+                )
+
+    def test_protocol_violation_gets_error_and_server_survives(
+        self, model_and_config
+    ):
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import protocol
+
+        with _make_server(model_and_config, num_streams=2) as srv:
+            host, port = srv.address
+            bad = socketlib.create_connection((host, port))
+            # Misaligned AUDIO payload for an unowned slot: violation.
+            bad.sendall(protocol.encode(protocol.AUDIO, 0, b"12345"))
+            frame = protocol.read_frame(bad)
+            assert frame is not None and frame.type == protocol.ERROR
+            # The offending connection is closed...
+            assert protocol.read_frame(bad) is None
+            bad.close()
+            # ...and the server still serves others.
+            with DetectionClient(host, port) as c:
+                assert isinstance(c.open_stream(), int)
