@@ -39,16 +39,22 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
     chunk = 1600  # 100 ms at 16 kHz — the reference mic chunk
     if n_ticks is None:
-        # Cap the prepared audio at ~64M samples so large stream counts
-        # don't balloon host memory; keep enough ticks to time steadily.
         n_ticks = int(max(16, min(100, 64_000_000 // (num_streams * chunk))))
+    # Cap the PREPARED audio at ~64M samples regardless of how many ticks
+    # are timed (the old formula's 16-tick floor silently blew through the
+    # cap at high stream counts): prepare a few unique tick tensors and
+    # cycle them. Tick content doesn't affect timing — the state chain,
+    # shapes and scoring work are identical every tick.
+    n_unique = int(
+        max(2, min(n_ticks, 64_000_000 // (num_streams * chunk)))
+    )
     det = StreamingDetector(
         variables=variables, config=cfg, num_streams=num_streams,
         chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
         debounce_seconds=0.5,
     )
     base = np.stack(
-        [np.resize(synth.synthetic_cough(i, 2.0), chunk * n_ticks)
+        [np.resize(synth.synthetic_cough(i, 2.0), chunk * n_unique)
          for i in range(min(num_streams, 256))]
     ).astype(np.float32)
     audio = np.tile(base, (-(-num_streams // base.shape[0]), 1))[:num_streams]
@@ -64,7 +70,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     step, state = det._step, det._state
     chunks = [
         jnp.asarray(audio[:, t * chunk : (t + 1) * chunk])
-        for t in range(n_ticks)
+        for t in range(n_unique)
     ]
     state, ev = step(state, chunks[0])  # compile
     np.asarray(ev["fired"])  # fetch: wait for compile + first tick for real
@@ -75,7 +81,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     # provably waits for the whole chain.
     t0 = time.perf_counter()
     for t in range(1, n_ticks):
-        state, ev = step(state, chunks[t])
+        state, ev = step(state, chunks[t % n_unique])
     float(np.asarray(ev["fired"]).sum())
     sustained_tick = (time.perf_counter() - t0) / (n_ticks - 1)
 
@@ -84,7 +90,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     sync = []
     for t in range(12):
         t0 = time.perf_counter()
-        state, ev = step(state, chunks[t % n_ticks])
+        state, ev = step(state, chunks[t % n_unique])
         np.asarray(ev["fired"])  # host fetch = provable completion
         sync.append(time.perf_counter() - t0)
     sync_p50 = float(np.percentile(sync, 50))

@@ -12,10 +12,12 @@ Two modes over a directory of long recordings:
                   the speech-data preparer sketch (feed it LibriSpeech-style
                   long speech and it emits 1 s negatives).
 
-Optionally score every candidate with a trained model in one device batch
+Optionally score every candidate with a trained model
 (--model + --min-confidence / --max-confidence) so curation can keep only
 cough-like (or only cough-free) segments — the triage the reference's
-trained-on-zeros postmortem asked for.
+trained-on-zeros postmortem asked for. Scoring streams per recording in
+fixed-size device batches, so corpus length is bounded by disk, not by
+host RAM or HBM.
 """
 
 from __future__ import annotations
@@ -23,6 +25,10 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
+
+# Fixed device batch for scoring: one compiled shape, ~1.3 GB of
+# waveform+features headroom even on small hosts.
+SCORE_BATCH = 1024
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -100,6 +106,42 @@ def _cut(wave, center: int, seg: int):
     return out
 
 
+def _make_scorer(model_path: str):
+    """Jitted (SCORE_BATCH, seg) → (SCORE_BATCH,) cough-probability fn."""
+    import jax
+    import numpy as np
+
+    from ..models import create_model
+    from ..ops import frontend
+    from ..stream.detector import _load_any_checkpoint
+
+    variables, mcfg = _load_any_checkpoint(model_path)
+    model = create_model(mcfg.model.model_type)
+
+    @jax.jit
+    def score(batch):
+        feats = frontend.extract_features_fast(
+            frontend.peak_normalize(batch), mcfg.features
+        )
+        logits = model.apply(variables, feats, train=False)
+        return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+    def score_np(waves: "np.ndarray") -> "np.ndarray":
+        """Score any number of segments in fixed-size padded sub-batches."""
+        import jax.numpy as jnp
+
+        out = np.empty(waves.shape[0], np.float32)
+        for lo in range(0, waves.shape[0], SCORE_BATCH):
+            chunk = waves[lo : lo + SCORE_BATCH]
+            real = chunk.shape[0]
+            if real < SCORE_BATCH:
+                chunk = np.pad(chunk, ((0, SCORE_BATCH - real), (0, 0)))
+            out[lo : lo + real] = np.asarray(score(jnp.asarray(chunk)))[:real]
+        return out
+
+    return score_np
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
@@ -122,7 +164,14 @@ def main(argv=None) -> None:
     if not files:
         raise SystemExit(f"No recordings under {args.input_dir}")
 
-    candidates = []  # (source stem, ordinal, segment wave)
+    scorer = _make_scorer(args.model) if args.model is not None else None
+    conf_lo = args.min_confidence if args.min_confidence is not None else -1.0
+    conf_hi = args.max_confidence if args.max_confidence is not None else 2.0
+
+    n_candidates = 0
+    n_written = 0
+    # One recording at a time: candidate count is bounded by a single
+    # file's length, never the corpus size.
     for f in files:
         wave = audio_io.load_mono_16k(str(f), sr).astype(np.float32)
         if args.mode == "uniform":
@@ -134,49 +183,38 @@ def main(argv=None) -> None:
             spans = find_energy_bursts(
                 wave, sr, args.threshold_db, args.min_duration
             )
-        for i, (lo, hi) in enumerate(spans):
-            candidates.append((f.stem, i, _cut(wave, (lo + hi) // 2, seg)))
-
-    kept = candidates
-    scores = None
-    if args.model is not None and candidates:
-        import jax.numpy as jnp
-
-        from ..models import create_model
-        from ..ops import frontend
-        from ..stream.detector import _load_any_checkpoint
-
-        variables, mcfg = _load_any_checkpoint(args.model)
-        model = create_model(mcfg.model.model_type)
-        batch = jnp.asarray(np.stack([w for _, _, w in candidates]))
-        feats = frontend.extract_features_fast(
-            frontend.peak_normalize(batch), mcfg.features
+        if not spans:
+            continue
+        segments = np.stack(
+            [_cut(wave, (lo + hi) // 2, seg) for lo, hi in spans]
         )
-        import jax
+        n_candidates += len(spans)
 
-        probs = np.asarray(
-            jax.nn.softmax(model.apply(variables, feats, train=False), -1)[:, 1]
-        )
-        scores = probs
-        lo = args.min_confidence if args.min_confidence is not None else -1.0
-        hi = args.max_confidence if args.max_confidence is not None else 2.0
-        kept = [
-            c for c, p in zip(candidates, probs) if lo <= float(p) <= hi
-        ]
+        keep = np.ones(len(spans), bool)
+        if scorer is not None:
+            probs = scorer(segments)
+            keep = (probs >= conf_lo) & (probs <= conf_hi)
 
-    for stem, i, wave in kept:
-        audio_io.write_wav(
-            out_dir / f"{args.prefix}_{stem}_{i:03d}.wav", wave, sr
-        )
+        # Name by the path relative to the input dir (flattened), so
+        # same-named recordings in different subdirectories can't clobber
+        # each other's segments.
+        rel = f.relative_to(in_dir).with_suffix("")
+        stem = "_".join(rel.parts)
+        for i in np.nonzero(keep)[0]:
+            audio_io.write_wav(
+                out_dir / f"{args.prefix}_{stem}_{int(i):03d}.wav",
+                segments[i], sr,
+            )
+            n_written += 1
 
     print(
         json.dumps(
             {
                 "recordings": len(files),
-                "candidates": len(candidates),
-                "written": len(kept),
+                "candidates": n_candidates,
+                "written": n_written,
                 "mode": args.mode,
-                "scored": scores is not None,
+                "scored": scorer is not None,
                 "output": str(out_dir),
             }
         )

@@ -64,7 +64,7 @@ def main(argv=None) -> None:
     # Ingest-at-scale sharding (SURVEY.md §2.9): with N devices the batch
     # axis splits over the mesh — each chip featurizes its shard, no
     # collectives needed (features are per-clip).
-    from ..parallel import batch_sharding, make_mesh
+    from ..parallel import batch_sharding, make_mesh, pad_to_multiple
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     n_dev = mesh.devices.size if mesh is not None else 1
@@ -87,10 +87,7 @@ def main(argv=None) -> None:
     n = 0
     for waves, labels in loader:
         key, sub = jax.random.split(key)
-        real = waves.shape[0]
-        pad = (-real) % n_dev
-        if pad:
-            waves = np.pad(waves, ((0, pad), (0, 0)))
+        waves, real = pad_to_multiple(waves, n_dev)
         dev_waves = (
             jax.device_put(waves, data_sh) if mesh is not None
             else jnp.asarray(waves)

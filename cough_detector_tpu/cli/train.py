@@ -50,9 +50,13 @@ def main(argv=None) -> None:
     esc50_dir = args.esc50_dir
     use_esc50 = not args.no_esc50
     if use_esc50 and esc50_dir is None:
+        import zipfile
+
         try:
             esc50_dir = download_esc50("./datasets")
-        except OSError as e:
+        except (OSError, zipfile.BadZipFile) as e:
+            # BadZipFile: captive portals / cut connections hand back an
+            # HTTP-200 non-zip; that's a failed download too, not a bug.
             # Air-gapped trainers (TPU pods have no egress) shouldn't lose a
             # run over the optional auxiliary dataset — train on the custom
             # data if there is any. (The reference aborts here:

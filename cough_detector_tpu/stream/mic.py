@@ -272,10 +272,13 @@ class RealtimeMicrophoneDetector:
         if self._live.is_set():
             return
         self.inference.reset()
+        # Open capture FIRST: if the device is busy/unplugged, open()
+        # raises and we must not be left half-started (a set _live flag
+        # plus an orphaned worker would make every retry a silent no-op).
+        self.capture.open(self._enqueue)
         self._live.set()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
-        self.capture.open(self._enqueue)
         print(f"[capture] {self.backend} live at {self.sample_rate} Hz — "
               "ctrl-c ends the session")
 

@@ -102,6 +102,12 @@ def score_recording(
     if mesh is False:
         mesh = None
     sharding = batch_sharding(mesh) if mesh is not None else None
+    if mesh is not None:
+        # The padded batch must be divisible by the device count, which
+        # padding *up to batch_size* alone doesn't guarantee — round the
+        # batch size itself up to a device multiple.
+        n_dev = mesh.devices.size
+        batch_size = -(-batch_size // n_dev) * n_dev
 
     @jax.jit
     def score(windows):
