@@ -179,6 +179,31 @@ class TestFullPipeline:
         np.testing.assert_allclose(jit_out, eager, rtol=1e-5, atol=1e-6)
 
 
+class TestFrameSignal:
+    """The block-decomposed framing must reproduce torch.stft's center/
+    reflect frame extraction exactly for every window/hop relationship
+    (hop | n_fft, hop ∤ n_fft, hop == n_fft, hop > half)."""
+
+    @pytest.mark.parametrize(
+        "n_samples,n_fft,hop",
+        [(16000, 512, 160), (16000, 512, 512), (8000, 400, 100),
+         (5000, 256, 200), (16000, 512, 256)],
+    )
+    def test_exact_vs_naive_slicing(self, n_samples, n_fft, hop):
+        rng = np.random.default_rng(0)
+        w = rng.normal(size=(3, n_samples)).astype(np.float32)
+        got = np.asarray(frontend.frame_signal(w, n_fft, hop))
+        half = n_fft // 2
+        wp = np.pad(w, [(0, 0), (half, half)], mode="reflect")
+        n_frames = (wp.shape[-1] - n_fft) // hop + 1
+        ref = np.stack(
+            [wp[:, t * hop : t * hop + n_fft] for t in range(n_frames)],
+            axis=1,
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestResample:
     @pytest.mark.parametrize("orig_sr", [8000, 22050, 44100, 48000])
     def test_matches_golden(self, orig_sr):
