@@ -26,11 +26,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--esc50-dir", type=str, default=None)
     p.add_argument("--export-pt", action="store_true",
                    help="Also export best model in the reference .pt layout")
+    p.add_argument("--distributed", action="store_true",
+                   help="Join a multi-host JAX runtime (TPU pod slice) "
+                        "before training; DP then spans all hosts' chips "
+                        "with the same mesh code path")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+
+    if args.distributed:
+        # Must run before any JAX API initializes a backend.
+        from ..parallel import maybe_initialize_distributed
+
+        if not maybe_initialize_distributed():
+            print("--distributed: no coordinator/pod environment found; "
+                  "continuing single-host")
 
     from ..config import Config, ModelConfig, TrainConfig
     from ..data.acquire import download_esc50

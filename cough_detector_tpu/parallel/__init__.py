@@ -3,6 +3,7 @@
 from .mesh import (
     batch_sharding,
     make_mesh,
+    maybe_initialize_distributed,
     pad_to_multiple,
     replicate,
     replicated,
@@ -14,6 +15,7 @@ from .mesh import (
 __all__ = [
     "batch_sharding",
     "make_mesh",
+    "maybe_initialize_distributed",
     "pad_to_multiple",
     "replicate",
     "replicated",

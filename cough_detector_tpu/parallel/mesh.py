@@ -30,6 +30,38 @@ def make_mesh(
     return Mesh(np.asarray(devices), (axis,))
 
 
+def maybe_initialize_distributed() -> bool:
+    """Join a multi-host JAX runtime when pod launch variables are present.
+
+    On a TPU pod slice every host runs the same program; after
+    `jax.distributed.initialize`, `jax.devices()` spans all hosts and the
+    exact same mesh/NamedSharding code path (this module) scales DP over
+    DCN+ICI — no other changes anywhere. On a single host (no coordinator
+    configured, or TPU pod metadata absent) this is a no-op returning
+    False.
+
+    Recognized environment (standard JAX names): explicit
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or TPU
+    pod auto-detection handled by jax.distributed.initialize() itself
+    when CLOUD_TPU_TASK_ID (GKE/TPU-VM pod env) is set.
+
+    Call before any other JAX API touches a backend (the train CLI does
+    this first when --distributed is passed).
+    """
+    import os
+
+    explicit = all(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID")
+    )
+    pod_auto = os.environ.get("CLOUD_TPU_TASK_ID") is not None
+    if not (explicit or pod_auto):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch/stream) axis; everything else replicated."""
     return NamedSharding(mesh, P(axis))

@@ -229,3 +229,33 @@ class TestOfflineSharding:
         for a, b in zip(single, sharded):
             assert a.time_seconds == b.time_seconds
             np.testing.assert_allclose(a.confidence, b.confidence, rtol=1e-5)
+
+
+class TestDistributedHook:
+    def test_noop_without_pod_environment(self, monkeypatch):
+        """Single host, no coordinator vars: the hook must not call
+        jax.distributed.initialize and must return False."""
+        from cough_detector_tpu.parallel import maybe_initialize_distributed
+
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID", "CLOUD_TPU_TASK_ID"):
+            monkeypatch.delenv(k, raising=False)
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda *a, **k: called.append(1)
+        )
+        assert maybe_initialize_distributed() is False
+        assert not called
+
+    def test_initializes_with_explicit_coordinator(self, monkeypatch):
+        from cough_detector_tpu.parallel import maybe_initialize_distributed
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "0")
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda *a, **k: called.append(1)
+        )
+        assert maybe_initialize_distributed() is True
+        assert called
