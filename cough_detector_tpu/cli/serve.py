@@ -63,8 +63,13 @@ def main(argv=None) -> None:
         precision_mode=args.precision_mode,
     )
     host, port = server.address[0], server.address[1]
-    deadline = time.time() + args.max_seconds if args.max_seconds else None
     with server:
+        # The deadline starts AFTER start() returns: start() blocks on the
+        # tick-program compile (minutes on a cold TPU), and --max-seconds
+        # bounds SERVING time, not compile+serving — otherwise a smoke run
+        # could exit before ever accepting a client.
+        deadline = (time.time() + args.max_seconds
+                    if args.max_seconds else None)
         # The readiness line prints only AFTER start() returns — i.e. after
         # the tick program has compiled and the accept loop is live — so a
         # supervisor reading it can immediately open streams.

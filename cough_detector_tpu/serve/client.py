@@ -69,8 +69,18 @@ class DetectionClient:
     def open_stream(self, timeout: float = 10.0) -> int:
         with self._pending_lock:
             self._pending_opens += 1
-        self._sock.sendall(protocol.encode(protocol.OPEN))
-        kind, value = self._opened.get(timeout=timeout)
+        try:
+            self._sock.sendall(protocol.encode(protocol.OPEN))
+            kind, value = self._opened.get(timeout=timeout)
+        except Exception:
+            # The handshake died (send failed or reply never came): retire
+            # its pending-open claim so a later out-of-band ERROR frame
+            # isn't mis-consumed as the refusal of a handshake that no
+            # longer exists, poisoning the next open_stream().
+            with self._pending_lock:
+                if self._pending_opens > 0:
+                    self._pending_opens -= 1
+            raise
         if kind == "error":
             raise ServerRefused(value)
         return value
@@ -106,7 +116,11 @@ class DetectionClient:
                     return
                 if frame.type == protocol.OPENED:
                     with self._pending_lock:
-                        self._pending_opens -= 1
+                        # >0 guard: a reply landing after its open_stream()
+                        # timed out (which already retired the claim) must
+                        # not drive the counter negative.
+                        if self._pending_opens > 0:
+                            self._pending_opens -= 1
                     self._opened.put(("ok", frame.stream))
                 elif frame.type == protocol.ERROR:
                     # Only a pending open_stream() may consume an ERROR as

@@ -220,6 +220,10 @@ class DetectionServer:
         self._detector.process_chunk(
             np.zeros((self.num_streams, self.chunk_size), np.float32)
         )
+        # Pre-warm the slot-scrub program too: its fixed-shape lane mask
+        # means this is the ONLY compile it will ever need, so the first
+        # real OPEN can never stall the timer loop on a cold-TPU compile.
+        self._detector.reset_streams([])
         self._detector.reset()
         self._threads = [
             threading.Thread(target=self._accept_loop, daemon=True),
@@ -247,6 +251,13 @@ class DetectionServer:
     def _bump(self, key: str, n: int = 1) -> None:
         with self._stats_lock:
             self._stats[key] += n
+
+    def _tick_count(self) -> int:
+        # Every _stats access goes through _stats_lock — including reads:
+        # the tick thread is the only writer of "ticks", but readers on
+        # the client threads must not rely on that incidental fact.
+        with self._stats_lock:
+            return self._stats["ticks"]
 
     def stats(self) -> dict:
         with self._reg_lock:
@@ -298,7 +309,7 @@ class DetectionServer:
                     # exactly when it scrubs the slot (the tick boundary
                     # where this tenant's audio stream actually begins).
                     self._slots[slot_id] = _Slot(
-                        client, self._stats["ticks"] * self.chunk_size
+                        client, self._tick_count() * self.chunk_size
                     )
                     client.slots.append(slot_id)
                     self._pending_resets.append(slot_id)
@@ -393,7 +404,7 @@ class DetectionServer:
         # not safe against a concurrent process_chunk).
         if resets:
             self._detector.reset_streams(resets)
-            start_sample = self._stats["ticks"] * self.chunk_size
+            start_sample = self._tick_count() * self.chunk_size
             for sid in resets:
                 slot = live.get(sid)
                 if slot is not None:

@@ -136,6 +136,19 @@ class StreamingDetector:
         self._step = ring.make_stream_step(
             score_fn, fcfg, self.stream_config, chunk_size
         )
+
+        def _reset_masked(state, mask):
+            m1 = mask[:, None]
+            return state._replace(
+                buffer=jnp.where(m1, 0.0, state.buffer),
+                history=jnp.where(m1, 0.0, state.history),
+                history_len=jnp.where(mask, 0, state.history_len),
+                last_fire_window=jnp.where(
+                    mask, -(1 << 24), state.last_fire_window
+                ),
+            )
+
+        self._reset_fn = jax.jit(_reset_masked, donate_argnums=(0,))
         self._model = model
         self.reset()
 
@@ -155,21 +168,25 @@ class StreamingDetector:
         self._pending = np.zeros((self.num_streams, 0), np.float32)
 
     def reset_streams(self, indices) -> None:
-        """Zero the per-stream state rows (ring buffer, smoothing history,
-        debounce clock, pending host samples) for the given stream lanes,
-        leaving the shared lockstep counters untouched. Used by the serving
-        daemon when a slot is handed to a new tenant, so the previous
-        tenant's audio can't leak into the newcomer's first windows nor its
-        last detection debounce theirs. NOT thread-safe with a concurrent
-        process_chunk — callers serialize on the tick (serve/server.py)."""
-        idx = jnp.asarray(list(indices), jnp.int32)
-        st = self._state
-        self._state = st._replace(
-            buffer=st.buffer.at[idx].set(0.0),
-            history=st.history.at[idx].set(0.0),
-            last_fire_window=st.last_fire_window.at[idx].set(-(1 << 24)),
-        )
-        self._pending[np.asarray(idx)] = 0.0
+        """Zero the per-stream state rows (ring buffer, smoothing history
+        + its per-lane validity count, debounce clock, pending host
+        samples) for the given stream lanes, leaving the shared lockstep
+        counters untouched. Used by the serving daemon when a slot is
+        handed to a new tenant, so the previous tenant's audio can't leak
+        into the newcomer's first windows nor its last detection debounce
+        theirs. The lane mask has a FIXED (num_streams,) shape so exactly
+        one XLA program exists regardless of how many slots reset per tick
+        (a length-dependent index vector would recompile per count —
+        minutes over a cold TPU tunnel, mid-tick). NOT thread-safe with a
+        concurrent process_chunk — callers serialize on the tick
+        (serve/server.py), which also pre-warms this program in start()."""
+        mask = np.zeros((self.num_streams,), bool)
+        mask[np.asarray(list(indices), np.int64)] = True
+        mask_dev = jnp.asarray(mask)
+        if self.mesh is not None:
+            mask_dev = jax.device_put(mask_dev, stream_sharding(self.mesh))
+        self._state = self._reset_fn(self._state, mask_dev)
+        self._pending[mask] = 0.0
 
     def process_chunk(self, chunk: np.ndarray) -> List[Detection]:
         """Feed (num_streams, n) or (n,) samples; n need not equal

@@ -40,7 +40,7 @@ class StreamState(NamedTuple):
     fill: jnp.ndarray          # () scalar: valid samples per stream
     windows_emitted: jnp.ndarray  # () scalar: total windows so far
     history: jnp.ndarray       # (S, smoothing_window) recent confidences
-    history_len: jnp.ndarray   # () scalar: valid history entries (<= win)
+    history_len: jnp.ndarray   # (S,) valid history entries per lane (<= win)
     last_fire_window: jnp.ndarray  # (S,) int32 window index of last detection
 
 
@@ -56,7 +56,7 @@ def init_state(
         fill=jnp.zeros((), jnp.int32),
         windows_emitted=jnp.zeros((), jnp.int32),
         history=jnp.zeros((num_streams, smoothing_window), jnp.float32),
-        history_len=jnp.zeros((), jnp.int32),
+        history_len=jnp.zeros((num_streams,), jnp.int32),
         last_fire_window=jnp.full((num_streams,), -(1 << 24), jnp.int32),
     )
 
@@ -113,7 +113,11 @@ def stream_step(
 
     # 3. Smoothing: append each valid window's prob to the circular history
     #    and average over the populated entries — deque(maxlen).mean()
-    #    semantics (reference: src/inference.py:219-223).
+    #    semantics (reference: src/inference.py:219-223). history_len is
+    #    PER LANE so a lane whose state was scrubbed on slot reuse
+    #    (detector.reset_streams) restarts with an empty deque — its first
+    #    windows average only its own confidences, never injected zeros,
+    #    exactly like a fresh single stream.
     smooth_win = state.history.shape[1]
     history, history_len = state.history, state.history_len
     smoothed_list = []
@@ -121,13 +125,13 @@ def stream_step(
         new_hist = jnp.concatenate(
             [history[:, 1:], probs[:, k : k + 1]], axis=1
         )
-        new_len = jnp.minimum(history_len + 1, smooth_win)
+        new_len = jnp.minimum(history_len + 1, smooth_win)  # (S,)
         history = jnp.where(valid[k], new_hist, history)
         history_len = jnp.where(valid[k], new_len, history_len)
         idx = jnp.arange(smooth_win)
-        mask = idx >= (smooth_win - history_len)
+        mask = idx[None, :] >= (smooth_win - history_len)[:, None]  # (S, W)
         denom = jnp.maximum(history_len, 1)
-        smoothed = jnp.sum(history * mask[None, :], axis=1) / denom
+        smoothed = jnp.sum(history * mask, axis=1) / denom
         smoothed_list.append(smoothed)
     smoothed = jnp.stack(smoothed_list, axis=1)  # (S, K)
 

@@ -199,10 +199,31 @@ class TestIsolationAndRecovery:
         st = det._state
         assert float(np.abs(np.asarray(st.buffer[0])).max()) == 0.0
         assert float(np.abs(np.asarray(st.history[0])).max()) == 0.0
+        assert int(st.history_len[0]) == 0  # smoothing deque restarts empty
         assert int(st.last_fire_window[0]) == -(1 << 24)
         # lane 1 and the shared clocks are untouched
         assert float(np.abs(np.asarray(st.buffer[1])).max()) > 0
+        assert int(st.history_len[1]) > 0
         assert int(st.windows_emitted) == windows_before
+
+    def test_reset_streams_compiles_one_program_for_any_lane_count(
+        self, model_and_config
+    ):
+        """The lane-reset program takes a FIXED-shape (num_streams,) mask,
+        so resets of 0, 1 or many slots in a tick all hit one compiled
+        XLA program — a per-count recompile would stall the real-time
+        tick loop for minutes over a cold TPU tunnel."""
+        variables, cfg = model_and_config
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=4,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        det.reset_streams([])  # the serve pre-warm call
+        compiled = det._reset_fn._cache_size()
+        for idx in ([1], [0, 2], [0, 1, 2, 3]):
+            det.reset_streams(idx)
+        assert det._reset_fn._cache_size() == compiled == 1
 
     def test_slot_reuse_is_retimed_and_padding_windows_suppressed(
         self, model_and_config

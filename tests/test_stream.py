@@ -109,6 +109,31 @@ class TestSmoothingDebounce:
             hist.append(prob)
             assert abs(smoothed - np.mean(hist)) < 1e-5
 
+    def test_scrubbed_lane_smoothing_restarts_empty(self):
+        """A lane scrubbed on slot reuse (detector.reset_streams zeroes its
+        buffer, history AND per-lane history_len) restarts its smoothing
+        deque EMPTY: the first window after reuse averages only itself —
+        no injected-zero dilution — while other lanes keep their full
+        running mean. Guards the per-lane history_len semantics."""
+        cfg = StreamConfig(confidence_threshold=2.0, smoothing_window=3)
+        step, state = _mean_score_step(cfg, chunk=4000, num_streams=2)
+        for _ in range(6):  # saturate both lanes' deques (3 windows)
+            state, _ = step(state, jnp.full((2, 4000), 1.0))
+        mask = jnp.asarray([True, False])  # scrub lane 0, as reset_streams
+        state = state._replace(
+            buffer=jnp.where(mask[:, None], 0.0, state.buffer),
+            history=jnp.where(mask[:, None], 0.0, state.history),
+            history_len=jnp.where(mask, 0, state.history_len),
+        )
+        state, ev = step(state, jnp.full((2, 4000), 0.5))
+        k = int(np.nonzero(np.asarray(ev["valid"]))[0][0])
+        sm = np.asarray(ev["smoothed"])
+        # lane 0: window mean = 4000*0.5/16000 = 0.125 over a deque of ONE
+        # (the buggy shared-length average would read (0+0+0.125)/3).
+        assert sm[0, k] == pytest.approx(0.125, abs=1e-6)
+        # lane 1: running 3-mean over (1, 1, 0.875).
+        assert sm[1, k] == pytest.approx((1 + 1 + 0.875) / 3, abs=1e-6)
+
     def test_debounce_blocks_rapid_fires(self):
         cfg = StreamConfig(
             confidence_threshold=0.5, smoothing_window=1, debounce_seconds=0.6
