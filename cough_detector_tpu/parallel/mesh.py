@@ -45,6 +45,12 @@ def maybe_initialize_distributed() -> bool:
     pod auto-detection handled by jax.distributed.initialize() itself
     when CLOUD_TPU_TASK_ID (GKE/TPU-VM pod env) is set.
 
+    The explicit variables are passed as ARGUMENTS: jax's own cluster
+    auto-detection covers TPU pods / Slurm / OpenMPI but has no env-var
+    cluster, so a bare initialize() would fail exactly when the caller
+    spelled the cluster out by hand. Exercised for real (two processes,
+    one coordinator, gloo collectives) by tests/test_distributed.py.
+
     Call before any other JAX API touches a backend (the train CLI does
     this first when --distributed is passed).
     """
@@ -55,11 +61,17 @@ def maybe_initialize_distributed() -> bool:
         for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                   "JAX_PROCESS_ID")
     )
-    pod_auto = os.environ.get("CLOUD_TPU_TASK_ID") is not None
-    if not (explicit or pod_auto):
-        return False
-    jax.distributed.initialize()
-    return True
+    if explicit:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("CLOUD_TPU_TASK_ID") is not None:
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -1,0 +1,97 @@
+"""REAL multi-process DP cluster test (SURVEY.md §2.9 "DCN for multi-host").
+
+Forms an actual 2-process JAX cluster on this host — one coordinator, two
+child interpreters, 4 virtual CPU devices each, gloo cross-process
+collectives — through the production `parallel.maybe_initialize_distributed`
+hook (tests/dist_child.py). This is the non-monkeypatched counterpart of
+TestDistributedHook in test_sharding.py: the hook's
+`jax.distributed.initialize(...)` line executes for real, the global
+8-device mesh spans both processes, and the DP train step's gradient psum
+crosses the process boundary.
+
+The children's loss trajectory must match a single-process 8-device run of
+the exact same problem (tests/dist_common.py) — data parallelism is a
+layout choice, not a numerics choice.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import dist_common
+from cough_detector_tpu.parallel import make_mesh, replicate
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CHILD = os.path.join(_REPO, "tests", "dist_child.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+class TestRealTwoProcessCluster:
+    def test_dp_train_step_matches_single_process(self):
+        port = _free_port()
+        procs = []
+        for pid in (0, 1):
+            env = dict(os.environ)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, _CHILD],
+                env=env, cwd=_REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("cluster child timed out")
+            assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+            outs.append(out)
+
+        child_losses = []
+        for out in outs:
+            lines = [l for l in out.splitlines()
+                     if l.startswith("DIST_LOSSES ")]
+            assert lines, f"no DIST_LOSSES line in:\n{out}"
+            child_losses.append(json.loads(lines[0].split(" ", 1)[1]))
+        # Both processes observe the same replicated loss, exactly.
+        assert child_losses[0] == child_losses[1]
+        assert len(child_losses[0]) == dist_common.N_STEPS
+
+        # Single-process 8-device reference of the identical problem.
+        mesh = make_mesh()
+        feats, labels = dist_common.make_batch()
+        data_sh = NamedSharding(mesh, P("data"))
+        x = jax.device_put(feats, data_sh)
+        y = jax.device_put(labels, data_sh)
+        state = replicate(dist_common.build_state(), mesh)
+        cw = replicate(np.asarray([1.0, 1.0], np.float32), mesh)
+        rng = replicate(np.asarray(jax.random.PRNGKey(123)), mesh)
+        want = dist_common.run_steps(state, x, y, cw, rng)
+
+        # Same mesh size, same program; only the collective transport
+        # differs (gloo ring vs in-process), so allow reduction-order
+        # float noise and nothing more.
+        np.testing.assert_allclose(child_losses[0], want, rtol=1e-5)

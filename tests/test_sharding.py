@@ -255,7 +255,15 @@ class TestDistributedHook:
         monkeypatch.setenv("JAX_PROCESS_ID", "0")
         called = []
         monkeypatch.setattr(
-            jax.distributed, "initialize", lambda *a, **k: called.append(1)
+            jax.distributed, "initialize",
+            lambda *a, **k: called.append((a, k)),
         )
         assert maybe_initialize_distributed() is True
-        assert called
+        # The env values must be passed EXPLICITLY: jax's cluster
+        # auto-detection has no env-var cluster, so a bare initialize()
+        # fails exactly when the caller spelled the cluster out by hand.
+        # (The real, non-monkeypatched cluster is test_distributed.py.)
+        _, kwargs = called[0]
+        assert kwargs["coordinator_address"] == "10.0.0.1:8476"
+        assert kwargs["num_processes"] == 4
+        assert kwargs["process_id"] == 0
