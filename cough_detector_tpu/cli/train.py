@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Accepted for reference-CLI parity; JAX selects the backend")
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--shards", type=str, default=None,
+                   help="Train from a pre-decoded shard directory packed "
+                        "by cdt-pack (no per-epoch decode; overrides "
+                        "--data-dir / ESC-50 inputs)")
     p.add_argument("--no-esc50", action="store_true")
     p.add_argument("--esc50-dir", type=str, default=None)
     p.add_argument("--export-pt", action="store_true",
@@ -60,7 +64,7 @@ def main(argv=None) -> None:
     )
 
     esc50_dir = args.esc50_dir
-    use_esc50 = not args.no_esc50
+    use_esc50 = not args.no_esc50 and args.shards is None
     if use_esc50 and esc50_dir is None:
         import zipfile
 
@@ -86,6 +90,7 @@ def main(argv=None) -> None:
         esc50_dir=esc50_dir,
         resume=args.resume,
         num_workers=args.num_workers,
+        shards_dir=args.shards,
     )
     if args.export_pt:
         from pathlib import Path

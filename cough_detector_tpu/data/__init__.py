@@ -9,6 +9,7 @@ from .datasets import (
     ESC50Dataset,
     prepare_dataset_split,
 )
+from .shards import ShardLoader, write_shards
 
 __all__ = [
     "acquire",
@@ -20,4 +21,6 @@ __all__ = [
     "CoughDataset",
     "ESC50Dataset",
     "prepare_dataset_split",
+    "ShardLoader",
+    "write_shards",
 ]

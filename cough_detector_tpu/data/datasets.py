@@ -238,6 +238,7 @@ class BatchLoader:
         # (the reference's mutating-RNG resume nondeterminism, fixed).
         self._seed = seed
         self._epoch = 0
+        self._pinned = False
         # Bounded LRU over full decoded clips (cache_bytes=0 disables).
         import collections
 
@@ -279,8 +280,14 @@ class BatchLoader:
     def set_epoch(self, epoch: int) -> None:
         """Pin the epoch the next iteration draws its order/shifts for.
         Called by the train loop each epoch; resume at epoch k then replays
-        exactly the order an uninterrupted run saw at epoch k."""
+        exactly the order an uninterrupted run saw at epoch k.
+
+        Pinning is sticky: once any caller pins, the loader stops
+        auto-advancing on iterator close — the two mechanisms never mix,
+        so a pinned consumer that breaks out of an epoch mid-way sees
+        exactly the epoch it pinned on the next pass."""
         self._epoch = int(epoch)
+        self._pinned = True
 
     def _epoch_rng(self) -> np.random.Generator:
         return np.random.default_rng([self._seed, self._epoch])
@@ -413,9 +420,12 @@ class BatchLoader:
             # producer so its thread pool and prefetched batches don't leak.
             abandoned.set()
             thread.join(timeout=5.0)
-            # Auto-advance so callers that never set_epoch still see a fresh
-            # order each pass; the train loop pins via set_epoch regardless.
-            self._epoch += 1
+            # Auto-advance so callers that never set_epoch still see a
+            # fresh order each bare pass. Pinned loaders (set_epoch — the
+            # train loop) never auto-advance: mixing both would hand a
+            # consumer that breaks mid-epoch a surprise order next pass.
+            if not self._pinned:
+                self._epoch += 1
 
 
 def create_data_loaders(

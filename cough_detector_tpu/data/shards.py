@@ -1,0 +1,273 @@
+"""Pre-decoded waveform shards: pack once, train at device speed.
+
+The reference decodes audio inside its DataLoader on every epoch
+(reference: src/dataset.py:121-173); our BatchLoader moves that to host
+threads + an LRU cache, but a cold or larger-than-cache corpus still pins
+training at host-decode speed (SURVEY.md §7 hard part (e)). This module
+removes decode from the epoch loop entirely:
+
+  * `write_shards` packs a dataset into int16 RAW-WAVEFORM shards
+    (decode + resample + center-crop happen ONCE, at pack time). Waves
+    stay raw — not featurized — so the device-side augmentation chain and
+    the fused feature kernel still apply per epoch, exactly as in the
+    BatchLoader path.
+  * `ShardLoader` is a drop-in `BatchLoader` sibling over a packed
+    directory: same (waves, labels) batch iterator, same epoch-keyed
+    determinism contract (epoch k's order derives from (seed, k) only, so
+    resume replays bit-exact), same weighted/shuffle/drop_last semantics.
+    Batches come from memory-mapped .npy files — a gather + memcpy, no
+    decode — and are yielded as int16; dequantization (waves / 32767)
+    runs ON DEVICE inside the train step, halving H2D bytes.
+
+Layout (format version 1):
+
+    <dir>/manifest.json                 counts, geometry, shard table
+    <dir>/waves-00000.npy               int16 (N, segment_samples)
+    <dir>/labels-00000.npy              int16 (N,)
+
+.npy (not .npz): zip members can't be memory-mapped, and mmap is what
+makes epoch reads free after the first pass (OS page cache).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from ..config import FeatureConfig
+
+MANIFEST = "manifest.json"
+FORMAT_VERSION = 1
+INT16_SCALE = 32767.0
+
+
+def quantize(waves: np.ndarray) -> np.ndarray:
+    """float32 PCM (≈[-1, 1]) → int16. WAV sources are int16 PCM to begin
+    with, so round-tripping through the decoder loses nothing."""
+    return np.clip(
+        np.round(waves * INT16_SCALE), -32768, 32767
+    ).astype(np.int16)
+
+
+def dequantize(waves: np.ndarray) -> np.ndarray:
+    return waves.astype(np.float32) * (1.0 / INT16_SCALE)
+
+
+def write_shards(
+    dataset,
+    out_dir: str,
+    feature_config: FeatureConfig = FeatureConfig(),
+    shard_size: int = 8192,
+    num_workers: int = 8,
+    backend: str = "auto",
+) -> dict:
+    """Pack a ClipDataset into int16 waveform shards; returns the manifest.
+
+    Decode order is the dataset's own (no shuffle): shard row r of the
+    global index equals dataset.samples[r], so selection-order contracts
+    (e.g. prepare_dataset_split's seeded split) survive packing.
+    """
+    from .datasets import BatchLoader
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    loader = BatchLoader(
+        dataset, shard_size, feature_config,
+        num_workers=num_workers, backend=backend, cache_bytes=0,
+    )
+    shards = []
+    counts: dict = {}
+    n_total = 0
+    for i, (waves, labels) in enumerate(loader):
+        np.save(out / f"waves-{i:05d}.npy", quantize(waves))
+        np.save(out / f"labels-{i:05d}.npy", labels.astype(np.int16))
+        shards.append({"file": f"waves-{i:05d}.npy", "n": int(len(labels))})
+        for lab in labels:
+            counts[int(lab)] = counts.get(int(lab), 0) + 1
+        n_total += len(labels)
+    manifest = {
+        "version": FORMAT_VERSION,
+        "segment_samples": int(feature_config.segment_samples),
+        "sample_rate": int(feature_config.sample_rate),
+        "n_clips": n_total,
+        "class_counts": {str(k): v for k, v in sorted(counts.items())},
+        "shards": shards,
+    }
+    (out / MANIFEST).write_text(json.dumps(manifest, indent=2))
+    return manifest
+
+
+class ShardLoader:
+    """Iterates (waves[B, segment] int16, labels[B] int32) batches from a
+    packed shard directory — the decode-free twin of `BatchLoader`
+    (identical epoch-keyed determinism, sampling and prefetch contracts;
+    see that class for the reference mapping)."""
+
+    def __init__(
+        self,
+        shard_dir: str,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        weighted: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 4,
+    ):
+        self.shard_dir = Path(shard_dir)
+        manifest_path = self.shard_dir / MANIFEST
+        if not manifest_path.exists():
+            raise FileNotFoundError(
+                f"No shard manifest at {manifest_path} — pack with "
+                f"`cdt-pack` (cli/pack.py) first"
+            )
+        self.manifest = json.loads(manifest_path.read_text())
+        if self.manifest.get("version") != FORMAT_VERSION:
+            raise ValueError(
+                f"Shard format version "
+                f"{self.manifest.get('version')!r} != {FORMAT_VERSION}"
+            )
+        self.segment_samples = int(self.manifest["segment_samples"])
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.weighted = weighted
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._seed = seed
+        self._epoch = 0
+        self._pinned = False
+
+        self._waves = []
+        labels = []
+        sizes = []
+        for entry in self.manifest["shards"]:
+            w = np.load(self.shard_dir / entry["file"], mmap_mode="r")
+            if w.shape[1] != self.segment_samples or w.dtype != np.int16:
+                raise ValueError(
+                    f"{entry['file']}: bad shape/dtype {w.shape} {w.dtype}"
+                )
+            lab_file = entry["file"].replace("waves-", "labels-")
+            lab = np.load(self.shard_dir / lab_file)
+            if len(lab) != w.shape[0] or w.shape[0] != entry["n"]:
+                raise ValueError(f"{entry['file']}: row count mismatch")
+            self._waves.append(w)
+            labels.append(lab)
+            sizes.append(w.shape[0])
+        self._labels = (
+            np.concatenate(labels).astype(np.int32)
+            if labels else np.zeros(0, np.int32)
+        )
+        self._starts = np.concatenate([[0], np.cumsum(sizes)])
+        self.class_counts = {
+            int(k): int(v)
+            for k, v in self.manifest.get("class_counts", {}).items()
+        }
+        self.sample_weights = self._compute_sample_weights()
+
+    def _compute_sample_weights(self) -> np.ndarray:
+        """Inverse-frequency weights, matching ClipDataset
+        (reference: src/dataset.py:109-116)."""
+        total = len(self._labels)
+        n_classes = max(len(self.class_counts), 1)
+        w = np.empty(total, np.float64)
+        for i, lab in enumerate(self._labels):
+            w[i] = total / (
+                n_classes * max(self.class_counts.get(int(lab), 1), 1)
+            )
+        return w
+
+    def __len__(self) -> int:
+        n = len(self._labels)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    @property
+    def n_clips(self) -> int:
+        return len(self._labels)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch the next iteration draws its order for (same
+        resume-replay contract as BatchLoader.set_epoch)."""
+        self._epoch = int(epoch)
+        self._pinned = True
+
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng([self._seed, self._epoch])
+
+    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
+        n = len(self._labels)
+        if self.weighted:
+            w = self.sample_weights
+            return rng.choice(n, size=n, replace=True, p=w / w.sum())
+        idx = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(idx)
+        return idx
+
+    def _gather(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        out = np.empty((len(idxs), self.segment_samples), np.int16)
+        shard_ids = (
+            np.searchsorted(self._starts, idxs, side="right") - 1
+        )
+        for s in np.unique(shard_ids):
+            sel = shard_ids == s
+            rows = idxs[sel] - self._starts[s]
+            # mmap fancy-index: one read+memcpy per selected row, served
+            # from the page cache after the first epoch.
+            out[sel] = self._waves[s][rows]
+        return out, self._labels[idxs]
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = self._epoch_rng()
+        order = self._epoch_order(rng)
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            while not abandoned.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    idxs = order[
+                        b * self.batch_size : (b + 1) * self.batch_size
+                    ]
+                    if not put(self._gather(idxs)):
+                        return
+            except BaseException as e:
+                put(e)
+            finally:
+                put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            abandoned.set()
+            thread.join(timeout=5.0)
+            # Unpinned consumers get a fresh order each bare pass; a train
+            # loop that pins via set_epoch keeps full control (same rule as
+            # BatchLoader).
+            if not self._pinned:
+                self._epoch += 1

@@ -33,6 +33,7 @@ from ..data.datasets import (
     ESC50Dataset,
     prepare_dataset_split,
 )
+from ..data.shards import INT16_SCALE, ShardLoader
 from ..models import count_parameters, create_model, init_model
 from ..ops import frontend
 from ..parallel import batch_sharding, make_mesh, replicate
@@ -128,6 +129,7 @@ def train(
     noise_bank: Optional[np.ndarray] = None,
     max_epochs: Optional[int] = None,
     mesh=None,
+    shards_dir: Optional[str] = None,
 ) -> str:
     """Train a model; returns the best-checkpoint path.
 
@@ -135,7 +137,16 @@ def train(
     device (or an explicit `mesh`) the batch axis is sharded over the mesh's
     data axis, state is replicated, and XLA inserts the gradient psum over
     ICI (SURVEY.md §2.9) — the same step code runs on 1 chip, N chips, or
-    the virtual CPU mesh. Pass mesh=False to force single-device."""
+    the virtual CPU mesh. Pass mesh=False to force single-device.
+
+    `shards_dir` (packed by `cdt-pack`, data/shards.py) replaces the
+    decode pipeline with memory-mapped pre-decoded int16 waveform batches
+    — the decode-free input path for keeping the chip fed (SURVEY.md §7
+    hard part (e)). Batches ship int16 and dequantize on device; the
+    augmentation chain still runs per epoch, with the crop-time time
+    shift replaced by its device-side equivalent (shards store the
+    already-cropped window). The epoch-keyed determinism and resume
+    contracts are identical to the decode path."""
     config = config or Config()
     fcfg, tcfg = config.features, config.train
     out = Path(output_dir)
@@ -150,23 +161,39 @@ def train(
     if mesh is not None:
         print(f"Data-parallel over {n_shards} devices: {mesh}")
 
-    train_ds, val_ds = _build_datasets(data_dir, use_esc50, esc50_dir)
-    print(f"Total train {len(train_ds)}, val {len(val_ds)}")
+    if shards_dir is not None:
+        train_loader = ShardLoader(
+            str(Path(shards_dir) / "train"), tcfg.batch_size,
+            weighted=True, drop_last=True, seed=tcfg.seed,
+        )
+        val_loader = ShardLoader(
+            str(Path(shards_dir) / "val"), tcfg.batch_size,
+        )
+        class_counts = train_loader.class_counts
+        print(
+            f"Shard corpus {shards_dir}: train {train_loader.n_clips}, "
+            f"val {val_loader.n_clips} (pre-decoded int16)"
+        )
+    else:
+        train_ds, val_ds = _build_datasets(data_dir, use_esc50, esc50_dir)
+        print(f"Total train {len(train_ds)}, val {len(val_ds)}")
 
-    train_loader = BatchLoader(
-        train_ds, tcfg.batch_size, fcfg, weighted=True, drop_last=True,
-        num_workers=num_workers, seed=tcfg.seed,
-        # Time-shift augmentation at crop time against the FULL clip — the
-        # reference shifts before center-trimming, so shifted-in content is
-        # real adjacent audio (src/augmentation.py:95-104 + dataset.py:156).
-        time_shift_limit=0.2, time_shift_prob=tcfg.p_augment,
-    )
-    val_loader = BatchLoader(
-        val_ds, tcfg.batch_size, fcfg, num_workers=num_workers,
-    )
+        train_loader = BatchLoader(
+            train_ds, tcfg.batch_size, fcfg, weighted=True, drop_last=True,
+            num_workers=num_workers, seed=tcfg.seed,
+            # Time-shift augmentation at crop time against the FULL clip —
+            # the reference shifts before center-trimming, so shifted-in
+            # content is real adjacent audio (src/augmentation.py:95-104 +
+            # dataset.py:156).
+            time_shift_limit=0.2, time_shift_prob=tcfg.p_augment,
+        )
+        val_loader = BatchLoader(
+            val_ds, tcfg.batch_size, fcfg, num_workers=num_workers,
+        )
+        class_counts = train_ds.class_counts
 
     w0, w1 = steps.compute_class_weights(
-        train_ds.class_counts, tcfg.max_class_weight_ratio
+        class_counts, tcfg.max_class_weight_ratio
     )
     class_weights = jnp.asarray([w0, w1], jnp.float32)
     print(f"Class weights: non-cough={w0:.2f}, cough={w1:.2f}")
@@ -187,11 +214,15 @@ def train(
     # reference: src/dataset.py:150-163).
     def train_features(args):
         waves, key = args
+        if waves.dtype == jnp.int16:  # shard batches dequantize on device
+            waves = waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
         k1, k2 = jax.random.split(key)
         waves = augment_waveforms(
             waves, k1, p=tcfg.p_augment,
             noise_bank=None if noise_bank is None else jnp.asarray(noise_bank),
-            use_time_shift=False,  # applied at crop time by the loader
+            # Crop-time shift needs the full clip; shards store only the
+            # cropped window, so they use the device-side roll variant.
+            use_time_shift=shards_dir is not None,
         )
         waves = frontend.peak_normalize(waves)
         # Fused Pallas kernel on TPU; features carry no trainable params so
@@ -207,6 +238,8 @@ def train(
         )
 
     def eval_features(waves):
+        if waves.dtype == jnp.int16:
+            waves = waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
         return frontend.extract_features_fast(frontend.peak_normalize(waves), fcfg)
 
     train_step = steps.make_train_step(feature_fn=train_features)
