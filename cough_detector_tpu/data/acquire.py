@@ -157,6 +157,77 @@ def download_coughvid(target_dir: str) -> Optional[str]:
     return str(target)
 
 
+def select_coughvid(
+    meta,
+    max_coughs: int = 3000,
+    cough_threshold: float = 0.8,
+    non_cough_threshold: float = 0.2,
+    seed: int = 42,
+):
+    """Reference-exact COUGHVID selection over a metadata frame; returns
+    (coughs, non_coughs) row subsets (reference: setup_coughvid.py:155-235).
+
+    Rules, in reference order:
+      * cough_detected > 0.8 → cough; < 0.2 → non-cough (rows with a NaN
+        confidence score 0.0 and take neither confidence branch —
+        setup_coughvid.py:180-189);
+      * status CONTAINING "healthy" (substring of the lowercased field,
+        so "healthy_*" variants count — setup_coughvid.py:193-195) with
+        confidence < 0.5 → non-cough;
+      * fallback when high-confidence coughs < 100 ALONE
+        (setup_coughvid.py:207): shuffle everything, 80 % → cough,
+        20 % → non-cough;
+      * coughs ranked by confidence, capped at max_coughs
+        (setup_coughvid.py:222-227);
+      * non-coughs SHUFFLE-then-capped at 1.5× coughs
+        (setup_coughvid.py:233-235) — a random subset, not a
+        metadata-order prefix.
+    The reference shuffles with the unseeded global RNG; here both
+    shuffles draw from `seed` so ingests are reproducible (divergence
+    documented in docs/PARITY.md).
+    """
+    if "cough_detected" not in meta.columns:
+        raise ValueError("COUGHVID metadata missing cough_detected column")
+    rng = np.random.default_rng(seed)
+    conf = meta["cough_detected"]
+    conf_val = conf.fillna(0.0)
+    has_conf = conf.notna()
+
+    is_cough = has_conf & (conf_val > cough_threshold)
+    is_non = has_conf & (conf_val < non_cough_threshold)
+    if "status" in meta.columns:
+        status = meta["status"].fillna("").astype(str).str.lower()
+        is_non |= status.str.contains("healthy") & (conf_val < 0.5)
+    coughs = meta[is_cough]
+    non_coughs = meta[is_non & ~is_cough]
+
+    fallback = len(coughs) < 100
+    if fallback:
+        order = rng.permutation(len(meta))
+        cut = int(len(meta) * 0.8)
+        coughs = meta.iloc[order[:cut]]
+        non_coughs = meta.iloc[order[cut:]]
+
+    if fallback:
+        # Fallback rows all carry the same placeholder confidence (0.5,
+        # setup_coughvid.py:214), so the reference's stable sort keeps the
+        # shuffled order and the cap takes a RANDOM subset — not a
+        # confidence re-rank.
+        coughs = coughs.head(max_coughs)
+    else:
+        coughs = (
+            coughs.assign(_conf=conf_val.loc[coughs.index])
+            .sort_values("_conf", ascending=False, kind="stable")
+            .drop(columns="_conf")
+            .head(max_coughs)
+        )
+    cap = int(len(coughs) * 1.5)
+    if len(non_coughs) > cap:
+        pick = rng.permutation(len(non_coughs))[:cap]
+        non_coughs = non_coughs.iloc[pick]
+    return coughs, non_coughs
+
+
 def prepare_coughvid(
     coughvid_dir: str,
     output_dir: str,
@@ -164,14 +235,13 @@ def prepare_coughvid(
     cough_threshold: float = 0.8,
     non_cough_threshold: float = 0.2,
     target_sr: int = 16000,
+    seed: int = 42,
 ) -> Dict[str, int]:
     """Filter COUGHVID by annotation confidence, rank, cap, and convert to
     16 kHz mono wav (reference: setup_coughvid.py:95-289).
 
-    Selection semantics match the reference: cough_detected > 0.8 →
-    cough; < 0.2 (or healthy status) → non_cough; fallback 80/20 split by
-    confidence rank when filtering is thin; non-coughs capped at 1.5×
-    coughs. Failures are quarantined and COUNTED.
+    Selection semantics are reference-exact (`select_coughvid`); failures
+    are quarantined and COUNTED (the reference swallows them).
     """
     import pandas as pd
 
@@ -194,27 +264,9 @@ def prepare_coughvid(
         for f in src.glob(f"**/*{ext}"):
             uuid_to_file.setdefault(f.stem, f)
 
-    if "cough_detected" not in meta.columns:
-        raise ValueError("COUGHVID metadata missing cough_detected column")
-    meta = meta.dropna(subset=["cough_detected"])
-
-    coughs = meta[meta["cough_detected"] > cough_threshold]
-    non_mask = meta["cough_detected"] < non_cough_threshold
-    if "status" in meta.columns:
-        non_mask |= meta["status"].fillna("") == "healthy"
-    non_coughs = meta[non_mask & (meta["cough_detected"] < 0.5)]
-
-    # Fallback 80/20 split when confidence filtering leaves too little
-    # (reference: setup_coughvid.py:207-219).
-    if len(coughs) < 100 or len(non_coughs) < 50:
-        ranked = meta.sort_values("cough_detected", ascending=False)
-        cut = int(len(ranked) * 0.8)
-        coughs, non_coughs = ranked.iloc[:cut], ranked.iloc[cut:]
-
-    coughs = coughs.sort_values("cough_detected", ascending=False).head(
-        max_coughs
+    coughs, non_coughs = select_coughvid(
+        meta, max_coughs, cough_threshold, non_cough_threshold, seed
     )
-    non_coughs = non_coughs.head(int(len(coughs) * 1.5))
 
     stats = {"cough": 0, "non_cough": 0, "failed": 0, "missing": 0}
 

@@ -427,6 +427,97 @@ class TestIngestNegativeSelections:
         }
         assert got == expected_classes
 
+    def test_coughvid_selection_rules_match_reference(self):
+        """select_coughvid pins the reference's row rules
+        (setup_coughvid.py:180-195): >0.8 → cough, <0.2 → non-cough,
+        status SUBSTRING 'healthy' with conf <0.5 → non-cough, NaN
+        confidence scores 0.0 and takes neither confidence branch."""
+        import pandas as pd
+
+        from cough_detector_tpu.data.acquire import select_coughvid
+
+        meta = pd.DataFrame({
+            "uuid": [f"u{i}" for i in range(8)],
+            "cough_detected": [0.9, 0.85, 0.1, 0.45, 0.45,
+                               np.nan, np.nan, 0.9],
+            "status": ["healthy", None, "sick", "healthy_fr", "covid",
+                       "healthy", "symptomatic", "COVID-19"],
+        })
+        # Pad with enough high-confidence coughs to stay off the fallback.
+        pad = pd.DataFrame({
+            "uuid": [f"p{i}" for i in range(100)],
+            "cough_detected": [0.95] * 100,
+            "status": ["covid"] * 100,
+        })
+        meta = pd.concat([meta, pad], ignore_index=True)
+        coughs, non = select_coughvid(meta, max_coughs=3000)
+        cough_ids = set(coughs["uuid"])
+        non_ids = set(non["uuid"])
+        # u0: 0.9 + healthy → cough wins (reference's if/elif order);
+        # u3: 'healthy_fr' substring-matches → non-cough (exact-match
+        #     would miss it); u4: covid at 0.45 → neither;
+        # u5: NaN + healthy → non-cough; u6: NaN alone → neither
+        #     (NaN must NOT count as <0.2).
+        assert {"u0", "u1", "u7"} <= cough_ids
+        assert {"u2", "u3", "u5"} <= non_ids
+        assert "u4" not in cough_ids | non_ids
+        assert "u6" not in cough_ids | non_ids
+
+    def test_coughvid_noncough_cap_is_random_subset(self):
+        """Non-coughs above the 1.5× cap are SHUFFLE-then-capped
+        (setup_coughvid.py:233-235), not a metadata-order .head() —
+        and seeded, so two runs agree."""
+        import pandas as pd
+
+        from cough_detector_tpu.data.acquire import select_coughvid
+
+        meta = pd.DataFrame({
+            "uuid": [f"c{i}" for i in range(120)] +
+                    [f"n{i}" for i in range(400)],
+            "cough_detected": [0.9] * 120 + [0.1] * 400,
+            "status": ["covid"] * 520,
+        })
+        coughs, non = select_coughvid(meta, max_coughs=3000)
+        assert len(coughs) == 120
+        assert len(non) == 180  # 1.5 × 120
+        picked = list(non["uuid"])
+        assert picked != [f"n{i}" for i in range(180)]  # not .head()
+        _, non2 = select_coughvid(meta, max_coughs=3000)
+        assert picked == list(non2["uuid"])  # seeded → reproducible
+
+    def test_coughvid_fallback_triggers_on_cough_count_alone(self):
+        """The 80/20 fallback fires iff high-confidence coughs < 100
+        (setup_coughvid.py:207) — scarce non-coughs alone must NOT
+        trigger it, and the fallback's cough cap keeps the shuffled
+        order (all fallback rows share confidence 0.5)."""
+        import pandas as pd
+
+        from cough_detector_tpu.data.acquire import select_coughvid
+
+        # 150 coughs, 10 non-coughs: reference does NOT fall back (the
+        # old `or len(non_coughs) < 50` trigger was wrong).
+        meta = pd.DataFrame({
+            "uuid": [f"c{i}" for i in range(150)] +
+                    [f"n{i}" for i in range(10)],
+            "cough_detected": [0.9] * 150 + [0.1] * 10,
+            "status": ["covid"] * 160,
+        })
+        coughs, non = select_coughvid(meta, max_coughs=3000)
+        assert len(coughs) == 150 and len(non) == 10
+
+        # 50 coughs: falls back to a seeded-shuffled 80/20 split.
+        meta2 = pd.DataFrame({
+            "uuid": [f"x{i}" for i in range(500)],
+            "cough_detected": [0.9] * 50 + [0.5] * 450,
+            "status": ["covid"] * 500,
+        })
+        coughs2, non2 = select_coughvid(meta2, max_coughs=3000)
+        assert len(coughs2) == 400 and len(non2) == 100  # 80/20 of 500
+        assert set(coughs2["uuid"]) | set(non2["uuid"]) == set(meta2["uuid"])
+        # Capped fallback takes the head of the SHUFFLED order.
+        coughs3, _ = select_coughvid(meta2, max_coughs=120)
+        assert list(coughs3["uuid"]) == list(coughs2["uuid"])[:120]
+
     def test_synthetic_negative_menu_covers_reference_kinds(self):
         """prepare_data's pink-noise and ambient multi-sine negatives
         (reference: prepare_data.py:138-162) must be reachable kinds."""
