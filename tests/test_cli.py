@@ -141,6 +141,52 @@ class TestEvaluate:
         # leaking into the loss would shift it far beyond this bound.
         np.testing.assert_allclose(rec5["loss"], rec["loss"], rtol=5e-2)
 
+        # Mesh invariance: the default eval above ran sharded over the
+        # 8-device CPU mesh; --single-device must report EXACTLY the same
+        # metrics (mask-padded shards, psum-reduced counts).
+        evaluate.main([
+            "--model", str(out / "latest_model"),
+            "--data-dir", str(data_dir), "--batch-size", "8",
+            "--single-device",
+        ])
+        rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        for k in ("tp", "fp", "fn", "tn", "accuracy"):
+            assert rec1[k] == rec[k], k
+        np.testing.assert_allclose(rec1["loss"], rec["loss"], rtol=1e-5)
+
+        # Shard-directory input: evaluating a cdt-pack'd copy of the same
+        # corpus scores the same clips (int16 quantization is far inside
+        # the decision margins of a trained model).
+        from cough_detector_tpu.cli import pack
+
+        shards = tmp_path / "eval_shards"
+        pack.main([
+            "--data-dir", str(data_dir), "--output", str(shards),
+            "--no-split", "--num-workers", "2",
+        ])
+        capsys.readouterr()
+        evaluate.main([
+            "--model", str(out / "latest_model"),
+            "--data-dir", str(shards), "--batch-size", "8",
+        ])
+        recs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        for k in ("tp", "fp", "fn", "tn"):
+            assert recs[k] == rec[k], k
+
+    def test_match_detections_is_event_honest(self):
+        """A double-fire on one cough plus a miss on another must NOT
+        score 100 % (the old len(detections)/n arithmetic did)."""
+        from cough_detector_tpu.cli.evaluate import match_detections
+
+        starts = [0.0, 5.0, 10.0]
+        # two fires on cough 0, one on cough 2, none on cough 1, one
+        # spurious fire far from any event.
+        times = [1.0, 1.5, 11.0, 20.5]
+        matched, spurious = match_detections(times, starts, span=3.0)
+        assert matched == {0, 2}
+        assert spurious == 1
+        assert len(matched) / len(starts) == pytest.approx(2 / 3)
+
     def test_behavioral_mode(self, data_dir, tmp_path, capsys):
         from cough_detector_tpu.cli import evaluate, train as tcli
 
