@@ -117,6 +117,138 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
 
 
+def daemon_bench(
+    num_streams: int = 256,
+    n_clients: int = 8,
+    seconds: float = 30.0,
+    chunk: int = 1600,
+) -> dict:
+    """Benchmark the SOCKET serving tier end-to-end (serve/server.py) —
+    not the in-process engine: M loopback DetectionClients feed real-time
+    100 ms PCM frames across N stream slots of a timer-policy
+    DetectionServer while its device tick runs on the chip. Reports the
+    achieved tick cadence against the 100 ms budget, the server's own
+    tick p50/p99, and delivered/dropped event and sample counts. The
+    daemon is \"real-time at N\" iff cadence holds (≳99 % of expected
+    ticks) with no sample drops.
+    """
+    import threading
+
+    import jax
+
+    from cough_detector_tpu.config import default_config
+    from cough_detector_tpu.data import synth
+    from cough_detector_tpu.models import create_model, init_model
+    from cough_detector_tpu.serve import DetectionClient, DetectionServer
+
+    cfg = default_config("residual")
+    model = create_model(cfg.model.model_type)
+    variables = init_model(
+        model, jax.random.PRNGKey(0), cfg.features.feature_shape
+    )
+    server = DetectionServer(
+        variables=variables, config=cfg, num_streams=num_streams,
+        chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
+        debounce_seconds=0.5, tick_policy="timer",
+    )
+    tick_s = chunk / cfg.features.sample_rate
+
+    # Per-slot audio: a few unique 2 s coughs cycled (content doesn't
+    # affect timing; events exercise the delivery path).
+    n_frames = int(round(seconds / tick_s))
+    base = [
+        np.resize(synth.synthetic_cough(i, 2.0), chunk * n_frames)
+        .astype(np.float32)
+        for i in range(min(16, num_streams))
+    ]
+
+    results = {"events": 0}
+    results_lock = threading.Lock()
+    stop = threading.Event()
+
+    def drain(client):
+        got = 0
+        while not stop.is_set():
+            got += len(client.events(timeout=0.2))
+        got += len(client.events())
+        with results_lock:
+            results["events"] += got
+
+    def feed(client, slot_ids):
+        """Absolute-deadline pacing: every tick period, one 100 ms frame
+        per owned slot — the real-time ingest a production frontend
+        would sustain."""
+        next_t = time.monotonic() + tick_s
+        for f in range(n_frames):
+            delay = next_t - time.monotonic()
+            if delay > 0:
+                if stop.wait(delay):
+                    return
+            next_t += tick_s
+            lo, hi = f * chunk, (f + 1) * chunk
+            try:
+                for k, sid in enumerate(slot_ids):
+                    client.send_audio(sid, base[k % len(base)][lo:hi])
+            except OSError:
+                return
+
+    with server:
+        host, port = server.address
+        clients, feeders, drainers = [], [], []
+        per_client = [
+            num_streams // n_clients
+            + (1 if i < num_streams % n_clients else 0)
+            for i in range(n_clients)
+        ]
+        for m in per_client:
+            c = DetectionClient(host, port)
+            slots = [c.open_stream() for _ in range(m)]
+            clients.append((c, slots))
+        # Ticks already run during the open loop (the timer starts with
+        # the first slot) must not count toward the timed window.
+        ticks0 = server.stats()["ticks"]
+        t_start = time.monotonic()
+        for c, slots in clients:
+            ft = threading.Thread(target=feed, args=(c, slots), daemon=True)
+            dt_ = threading.Thread(target=drain, args=(c,), daemon=True)
+            ft.start(); dt_.start()
+            feeders.append(ft); drainers.append(dt_)
+        for ft in feeders:
+            ft.join(timeout=seconds + 30)
+        elapsed = time.monotonic() - t_start
+        stop.set()
+        for dt_ in drainers:
+            dt_.join(timeout=2.0)
+        stats = server.stats()
+        for c, _ in clients:
+            c.close()
+
+    timed_ticks = stats["ticks"] - ticks0
+    expected_ticks = elapsed / tick_s
+    cadence = timed_ticks / max(expected_ticks, 1e-9)
+    record = {
+        "metric": "serving_daemon_socket_tier",
+        "num_streams": num_streams,
+        "n_clients": n_clients,
+        "seconds": round(elapsed, 1),
+        "ticks": timed_ticks,
+        "tick_budget_ms": round(tick_s * 1e3, 1),
+        "tick_ms_p50": stats.get("tick_ms_p50"),
+        "tick_ms_p99": stats.get("tick_ms_p99"),
+        "delivery_lag_ms_p50": stats.get("delivery_lag_ms_p50"),
+        "delivery_lag_ms_p99": stats.get("delivery_lag_ms_p99"),
+        "cadence": round(cadence, 4),
+        "events_delivered": results["events"],
+        "events_dropped": stats["events_dropped"],
+        "dropped_samples": stats["dropped_samples"],
+        "realtime_at_this_count": bool(
+            cadence > 0.99 and stats["dropped_samples"] == 0
+        ),
+    }
+    print(json.dumps(record), flush=True)
+    return record
+
+
 def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
     """mode: "high" (default, ≤1e-3 parity), "serve" (opt-in mixed
     precision, ~2-5e-4 absolute logits error — docs/PARITY.md), or "bf16"
@@ -192,7 +324,26 @@ def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
 
 
 if __name__ == "__main__":
-    if "--serving-sweep" in sys.argv:
+    if "--daemon-ramp" in sys.argv:
+        # Host-side ceiling of the socket tier: ramp stream counts until
+        # the timer loop misses cadence or slots overflow. Every row is a
+        # real multi-client run at that count.
+        for s in (256, 512, 1024, 2048, 4096):
+            rec = daemon_bench(num_streams=s, seconds=20.0)
+            if not rec["realtime_at_this_count"]:
+                break
+    elif "--daemon" in sys.argv:
+        n = 256
+        if "--streams" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--streams") + 1])
+        m = 8
+        if "--clients" in sys.argv:
+            m = int(sys.argv[sys.argv.index("--clients") + 1])
+        secs = 30.0
+        if "--seconds" in sys.argv:
+            secs = float(sys.argv[sys.argv.index("--seconds") + 1])
+        daemon_bench(num_streams=n, n_clients=m, seconds=secs)
+    elif "--serving-sweep" in sys.argv:
         # Measured capacity curve (VERDICT r1 §next-6): every point is a
         # real run at that stream count, not arithmetic from a smaller one.
         for s in (256, 1024, 4096, 8192, 16384):

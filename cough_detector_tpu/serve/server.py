@@ -31,12 +31,22 @@ Isolation and containment:
   * Protocol violations get a best-effort ERROR frame, then only the
     offending connection is closed.
 
+Pipeline (performance-critical): the timer thread only ASSEMBLES and
+DISPATCHES device ticks — ticks chain through donated state and never
+wait on a host fetch. A pool of fetch workers pulls each tick's single
+packed event tensor (round trips overlap; one fetch costs ~27-80 ms over
+the dev tunnel, microseconds on a local chip), and a router thread
+re-serializes completions so clients see events strictly in tick order.
+Real-time cadence is therefore independent of fetch latency until the
+fetch pool saturates.
+
 Scale note: the DEVICE side sustains ~16k real-time streams/chip
 (BASELINE.md sweep, measured on the in-process engine); this daemon's
-host side (Python socket readers + per-tick slot assembly) is the
-binding constraint well before that. For >~1k streams per host, run
-several daemons behind a load balancer or embed `StreamingDetector`
-directly in a native frontend — the device tick is shared either way.
+host side (Python socket readers + per-tick slot assembly + event
+routing) binds first — see BASELINE.md's measured `bench.py --daemon`
+ramp for where cadence breaks on this host. Beyond that, run several
+daemons behind a load balancer or embed `StreamingDetector` directly in
+a native frontend — the device tick is shared either way.
 """
 
 from __future__ import annotations
@@ -171,6 +181,7 @@ class DetectionServer:
         buffer_seconds: float = 30.0,
         mesh=None,
         precision_mode: str = "high",
+        delivery_workers: int = 4,
     ):
         if tick_policy not in ("timer", "eager"):
             raise ValueError(f"unknown tick_policy {tick_policy!r}")
@@ -204,7 +215,25 @@ class DetectionServer:
             "dropped_samples": 0, "connections": 0, "refused": 0,
         }
         self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
+        self._lag_times: deque = deque(maxlen=1024)  # dispatch → delivered
         self._stats_lock = threading.Lock()  # counters touched by N threads
+        # Device ticks in flight: the timer thread DISPATCHES each tick
+        # (device work chains through donated state, no host fetch) and
+        # hands the on-device events here; a pool of fetch workers pulls
+        # each tick's packed event tensor (their host↔device round trips
+        # OVERLAP — one round trip costs ~27-80 ms over the dev tunnel,
+        # more than a whole 256-stream tick's compute, and a single
+        # fetcher caps delivery at ~1/RT ticks/s), and the router thread
+        # re-serializes results so clients always see events in tick
+        # order. Bounded: if delivery falls chronically behind, the timer
+        # blocks and the missed cadence shows in stats.
+        self._delivery_workers = max(1, delivery_workers)
+        self._inflight: "queue.Queue" = queue.Queue(
+            maxsize=2 * self._delivery_workers
+        )
+        self._fetched: Dict[int, tuple] = {}  # serial → (live, dets, t0)
+        self._fetched_cond = threading.Condition()
+        self._dispatched = 0  # tick serial, single-writer: tick thread
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
@@ -228,6 +257,10 @@ class DetectionServer:
         self._threads = [
             threading.Thread(target=self._accept_loop, daemon=True),
             threading.Thread(target=self._tick_loop, daemon=True),
+            threading.Thread(target=self._router_loop, daemon=True),
+        ] + [
+            threading.Thread(target=self._fetch_loop, daemon=True)
+            for _ in range(self._delivery_workers)
         ]
         for t in self._threads:
             t.start()
@@ -252,22 +285,27 @@ class DetectionServer:
         with self._stats_lock:
             self._stats[key] += n
 
-    def _tick_count(self) -> int:
-        # Every _stats access goes through _stats_lock — including reads:
-        # the tick thread is the only writer of "ticks", but readers on
-        # the client threads must not rely on that incidental fact.
-        with self._stats_lock:
-            return self._stats["ticks"]
 
     def stats(self) -> dict:
+        """`ticks` counts DELIVERED ticks (events fetched + routed);
+        tick_ms_* is the dispatch cost on the real-time timer thread,
+        delivery_lag_ms_* the dispatch→routed pipeline latency."""
         with self._reg_lock:
             open_slots = len(self._slots)
         with self._stats_lock:
             out = {**self._stats, "open_streams": open_slots}
             ticks = np.asarray(self._tick_times)
+            lags = np.asarray(self._lag_times)
         if ticks.size:
             out["tick_ms_p50"] = round(float(np.percentile(ticks, 50)) * 1e3, 3)
             out["tick_ms_p99"] = round(float(np.percentile(ticks, 99)) * 1e3, 3)
+        if lags.size:
+            out["delivery_lag_ms_p50"] = round(
+                float(np.percentile(lags, 50)) * 1e3, 3
+            )
+            out["delivery_lag_ms_p99"] = round(
+                float(np.percentile(lags, 99)) * 1e3, 3
+            )
         return out
 
     # -- network side ----------------------------------------------------
@@ -308,8 +346,10 @@ class DetectionServer:
                     # open_sample is provisional: the tick thread pins it
                     # exactly when it scrubs the slot (the tick boundary
                     # where this tenant's audio stream actually begins).
+                    # _dispatched is the dispatch-side tick clock — the
+                    # same clock the scrub uses.
                     self._slots[slot_id] = _Slot(
-                        client, self._tick_count() * self.chunk_size
+                        client, self._dispatched * self.chunk_size
                     )
                     client.slots.append(slot_id)
                     self._pending_resets.append(slot_id)
@@ -393,6 +433,10 @@ class DetectionServer:
                 self._tick_once()
 
     def _tick_once(self) -> None:
+        """Assemble + DISPATCH one device tick; never fetches. Event
+        fetch/routing happens on the delivery thread one tick behind
+        (see _inflight in __init__), so the real-time cadence of this
+        loop is independent of host↔device round-trip latency."""
         chunk = np.zeros((self.num_streams, self.chunk_size), np.float32)
         with self._reg_lock:
             live = dict(self._slots)
@@ -400,11 +444,12 @@ class DetectionServer:
             self._pending_resets = []
         # Scrub reused slots BEFORE pulling their audio: their rows still
         # hold the previous tenant's ring/history/debounce state, and this
-        # thread is the only one touching detector state (reset_streams is
-        # not safe against a concurrent process_chunk).
+        # thread is the only one dispatching device work (reset_streams is
+        # not safe against a concurrent tick dispatch; the delivery thread
+        # only reads already-materialized event arrays).
         if resets:
             self._detector.reset_streams(resets)
-            start_sample = self._tick_count() * self.chunk_size
+            start_sample = self._dispatched * self.chunk_size
             for sid in resets:
                 slot = live.get(sid)
                 if slot is not None:
@@ -412,10 +457,54 @@ class DetectionServer:
         for slot_id, slot in live.items():
             chunk[slot_id] = slot.pull(self.chunk_size)
         t0 = time.perf_counter()
-        detections = self._detector.process_chunk(chunk)
+        events = self._detector.tick_async(chunk)
         with self._stats_lock:
             self._tick_times.append(time.perf_counter() - t0)
-            self._stats["ticks"] += 1
+        serial = self._dispatched
+        self._dispatched += 1
+        while not self._stop.is_set():
+            try:
+                self._inflight.put((serial, live, events, t0), timeout=0.5)
+                return
+            except queue.Full:
+                continue  # delivery chronically behind: the timer loop
+                # stalls here and the missed cadence is visible in stats
+                # rather than memory growing without bound.
+
+    def _fetch_loop(self) -> None:
+        """Pull one tick's events off the device (blocking round trip) —
+        several of these run concurrently so round trips overlap."""
+        while not self._stop.is_set():
+            try:
+                serial, live, events, t0 = self._inflight.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            detections = self._detector.collect_events(events)
+            with self._fetched_cond:
+                self._fetched[serial] = (live, detections, t0)
+                self._fetched_cond.notify_all()
+
+    def _router_loop(self) -> None:
+        """Route fetched ticks to clients strictly in tick order (the
+        fetch pool completes out of order)."""
+        next_serial = 0
+        while not self._stop.is_set():
+            with self._fetched_cond:
+                while (
+                    next_serial not in self._fetched
+                    and not self._stop.is_set()
+                ):
+                    self._fetched_cond.wait(timeout=0.2)
+                if self._stop.is_set():
+                    return
+                live, detections, t_dispatch = self._fetched.pop(next_serial)
+            self._deliver(live, detections)
+            with self._stats_lock:
+                self._lag_times.append(time.perf_counter() - t_dispatch)
+                self._stats["ticks"] += 1
+            next_serial += 1
+
+    def _deliver(self, live: Dict[int, _Slot], detections) -> None:
         window_s = self._detector.stream_config.window_duration
         for det in detections:
             slot = live.get(det.stream)

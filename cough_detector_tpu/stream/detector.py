@@ -188,6 +188,54 @@ class StreamingDetector:
         self._state = self._reset_fn(self._state, mask_dev)
         self._pending[mask] = 0.0
 
+    def tick_async(self, tick: np.ndarray) -> dict:
+        """Dispatch exactly ONE device tick — (num_streams, chunk_size)
+        samples — WITHOUT fetching results; returns the on-device events
+        dict for a later `collect_events`. Ticks chain through the donated
+        state, so dispatches pipeline back-to-back on the device while the
+        host fetches a previous tick's events: the serving daemon's timer
+        loop never blocks on a host↔device round-trip (over the dev
+        tunnel one synchronous fetch costs ~27 ms — more than the entire
+        256-stream tick's compute)."""
+        if self.mesh is not None:
+            tick_dev = jax.device_put(tick, stream_sharding(self.mesh))
+        else:
+            tick_dev = jnp.asarray(tick)
+        self._state, events = self._step(self._state, tick_dev)
+        return events
+
+    def collect_events(self, events: dict) -> List[Detection]:
+        """Fetch one tick's device events (blocks until that tick is
+        done) and decode them to Detection records. Reads ONLY the packed
+        event tensor — one host↔device round trip per tick, which is
+        what keeps a real-time serving daemon's delivery budget intact
+        over a ~27 ms-per-fetch dev tunnel (see ring.stream_step)."""
+        packed = np.asarray(events["packed"])  # ONE device fetch
+        s = self.num_streams
+        valid = packed[0] > 0.5
+        # win_idx travels as two 15-bit f32 halves — exact reconstruction.
+        win_idx = (
+            packed[1].astype(np.int64) * 32768
+            + packed[2].astype(np.int64)
+        )
+        smoothed = packed[3 : 3 + s]
+        fired = packed[3 + s : 3 + 2 * s] > 0.5
+        hop = int(
+            self.config.features.sample_rate
+            * self.stream_config.hop_duration
+        )
+        sr = self.config.features.sample_rate
+        detections: List[Detection] = []
+        for k in np.nonzero(valid)[0]:
+            # Exact stream time from the integer window index (the f32
+            # in-events timestamp loses precision on long streams).
+            t = (int(win_idx[k]) * hop + self.window_samples) / sr
+            for s_i in np.nonzero(fired[:, k])[0]:
+                detections.append(
+                    Detection(int(s_i), t, float(smoothed[s_i, k]))
+                )
+        return detections
+
     def process_chunk(self, chunk: np.ndarray) -> List[Detection]:
         """Feed (num_streams, n) or (n,) samples; n need not equal
         chunk_size — data is re-chunked internally (host side)."""
@@ -205,30 +253,7 @@ class StreamingDetector:
         while self._pending.shape[1] >= self.chunk_size:
             tick = self._pending[:, : self.chunk_size]
             self._pending = self._pending[:, self.chunk_size :]
-            if self.mesh is not None:
-                tick_dev = jax.device_put(
-                    tick, stream_sharding(self.mesh)
-                )
-            else:
-                tick_dev = jnp.asarray(tick)
-            self._state, events = self._step(self._state, tick_dev)
-            fired = np.asarray(events["fired"])
-            valid = np.asarray(events["valid"])
-            smoothed = np.asarray(events["smoothed"])
-            win_idx = np.asarray(events["window_index"])
-            hop = int(
-                self.config.features.sample_rate
-                * self.stream_config.hop_duration
-            )
-            sr = self.config.features.sample_rate
-            for k in np.nonzero(valid)[0]:
-                # Exact stream time from the integer window index (the f32
-                # in-events timestamp loses precision on long streams).
-                t = (int(win_idx[k]) * hop + self.window_samples) / sr
-                for s in np.nonzero(fired[:, k])[0]:
-                    detections.append(
-                        Detection(int(s), t, float(smoothed[s, k]))
-                    )
+            detections.extend(self.collect_events(self.tick_async(tick)))
         return detections
 
     def scores_for(self, chunk: np.ndarray) -> np.ndarray:

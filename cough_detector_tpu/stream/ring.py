@@ -181,6 +181,28 @@ def stream_step(
         history_len=history_len,
         last_fire_window=last_fire,
     )
+    # Single packed f32 event tensor, (3 + 2S, K): one host fetch decodes
+    # a whole tick. Over the dev tunnel each fetch costs a ~27 ms round
+    # trip, so fetching fired/valid/smoothed/win_idx separately (4 trips)
+    # would alone overrun a 100 ms real-time tick — the serving daemon's
+    # delivery thread reads ONLY this. win_idx rides as two 15-bit f32
+    # halves (exact: f32 holds integers < 2^24; a raw int32 cast would
+    # corrupt after ~2^24 windows ≈ 48 days at a 0.25 s hop).
+    packed = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    valid.astype(jnp.float32),
+                    (win_idx >> 15).astype(jnp.float32),
+                    (win_idx & 0x7FFF).astype(jnp.float32),
+                ],
+                axis=0,
+            ),
+            smoothed,
+            fired.astype(jnp.float32),
+        ],
+        axis=0,
+    )
     events = {
         "probs": probs,
         "smoothed": smoothed,
@@ -188,6 +210,7 @@ def stream_step(
         "valid": valid,
         "timestamps": timestamps,
         "window_index": win_idx,
+        "packed": packed,
     }
     return new_state, events
 

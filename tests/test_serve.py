@@ -266,6 +266,20 @@ class TestIsolationAndRecovery:
                     round(e["time"] / hop_s), abs=1e-6
                 )
 
+    def test_daemon_bench_harness_smoke(self):
+        """bench.py --daemon end-to-end on the loopback: clients feed
+        real-time PCM, the pipelined tick holds cadence, events arrive."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import bench
+
+        rec = bench.daemon_bench(num_streams=4, n_clients=2, seconds=3.0)
+        assert rec["ticks"] >= 25  # ~30 expected at 100 ms cadence
+        assert rec["cadence"] > 0.9
+        assert rec["dropped_samples"] == 0
+        assert rec["events_delivered"] > 0
+
     def test_protocol_violation_gets_error_and_server_survives(
         self, model_and_config
     ):
