@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Train from a pre-decoded shard directory packed "
                         "by cdt-pack (no per-epoch decode; overrides "
                         "--data-dir / ESC-50 inputs)")
+    p.add_argument("--no-device-corpus", action="store_true",
+                   help="With --shards: stream batches from host instead "
+                        "of uploading the corpus to HBM and running one "
+                        "scanned XLA program per epoch")
     p.add_argument("--no-esc50", action="store_true")
     p.add_argument("--esc50-dir", type=str, default=None)
     p.add_argument("--export-pt", action="store_true",
@@ -91,6 +95,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         num_workers=args.num_workers,
         shards_dir=args.shards,
+        device_corpus=False if args.no_device_corpus else "auto",
     )
     if args.export_pt:
         from pathlib import Path

@@ -191,6 +191,37 @@ class ShardLoader:
     def n_clips(self) -> int:
         return len(self._labels)
 
+    def corpus_nbytes(self) -> int:
+        return sum(w.nbytes for w in self._waves)
+
+    def corpus(self) -> np.ndarray:
+        """The full (N, segment) int16 corpus, materialized — the upload
+        payload for device-resident training (train/steps.py epoch-scan
+        programs)."""
+        if not self._waves:
+            return np.zeros((0, self.segment_samples), np.int16)
+        return np.concatenate([np.asarray(w) for w in self._waves])
+
+    def epoch_batches(self, epoch: int):
+        """(idx_mat, labels_mat, mask_mat), each (steps, B), defining this
+        epoch's batches — the same order __iter__ would produce for the
+        same epoch (one RNG, one contract), in index form so a scanned
+        epoch can gather batches from a device-resident corpus. Tail
+        batches (no drop_last) pad with index 0 rows masked out."""
+        self.set_epoch(epoch)
+        order = self._epoch_order(self._epoch_rng())
+        n_steps = len(self)
+        b = self.batch_size
+        take = order[: n_steps * b]
+        mask = np.ones(take.shape[0], np.float32)
+        pad = n_steps * b - take.shape[0]
+        if pad > 0:
+            take = np.concatenate([take, np.zeros(pad, take.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+        idx_mat = take.reshape(n_steps, b).astype(np.int32)
+        labels_mat = self._labels[idx_mat]
+        return idx_mat, labels_mat, mask.reshape(n_steps, b)
+
     def set_epoch(self, epoch: int) -> None:
         """Pin the epoch the next iteration draws its order for (same
         resume-replay contract as BatchLoader.set_epoch)."""

@@ -130,6 +130,7 @@ def train(
     max_epochs: Optional[int] = None,
     mesh=None,
     shards_dir: Optional[str] = None,
+    device_corpus="auto",
 ) -> str:
     """Train a model; returns the best-checkpoint path.
 
@@ -146,7 +147,15 @@ def train(
     augmentation chain still runs per epoch, with the crop-time time
     shift replaced by its device-side equivalent (shards store the
     already-cropped window). The epoch-keyed determinism and resume
-    contracts are identical to the decode path."""
+    contracts are identical to the decode path.
+
+    `device_corpus` ("auto" | True | False): when the shard corpus fits
+    HBM (auto threshold 2 GiB; COUGHVID+ESC-50 ≈ 250 MB as int16), the
+    int16 corpus uploads ONCE and every epoch runs as a single scanned
+    XLA program over a (steps, B) index matrix — zero per-batch host
+    work, H2D, or dispatch (train/steps.py epoch-scan programs). The
+    augmentation key chain and sample order are bit-identical to the
+    streamed path."""
     config = config or Config()
     fcfg, tcfg = config.features, config.train
     out = Path(output_dir)
@@ -242,8 +251,32 @@ def train(
             waves = waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
         return frontend.extract_features_fast(frontend.peak_normalize(waves), fcfg)
 
-    train_step = steps.make_train_step(feature_fn=train_features)
-    eval_step = steps.make_eval_step(feature_fn=eval_features)
+    # Device-resident corpus + one-program epochs (shard mode, fits HBM).
+    _DEVICE_CORPUS_BUDGET = 2 << 30
+    use_epoch_scan = (
+        shards_dir is not None
+        and device_corpus in ("auto", True)
+        and (
+            device_corpus is True
+            or train_loader.corpus_nbytes() + val_loader.corpus_nbytes()
+            <= _DEVICE_CORPUS_BUDGET
+        )
+        and tcfg.batch_size % n_shards == 0
+    )
+    if use_epoch_scan:
+        corp_mb = (
+            train_loader.corpus_nbytes() + val_loader.corpus_nbytes()
+        ) / 2**20
+        print(
+            f"Device-resident corpus ({corp_mb:.0f} MB int16): one scanned "
+            f"XLA program per epoch"
+        )
+        train_epoch_fn, eval_epoch_fn = steps.make_epoch_fns(
+            train_features, eval_features
+        )
+    else:
+        train_step = steps.make_train_step(feature_fn=train_features)
+        eval_step = steps.make_eval_step(feature_fn=eval_features)
 
     # Static batch geometry: train batches (drop_last) pad only up to mesh
     # divisibility; eval batches all pad to one fixed shape, so the tail
@@ -291,6 +324,26 @@ def train(
         state = replicate(state, mesh)
         class_weights = replicate(class_weights, mesh)
         base_rng = replicate(base_rng, mesh)
+
+    if use_epoch_scan:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        put_rep = (
+            (lambda x: replicate(x, mesh)) if mesh is not None
+            else jnp.asarray
+        )
+        # Upload once; per-epoch traffic is just the index matrices.
+        train_corpus = put_rep(train_loader.corpus())
+        val_corpus = put_rep(val_loader.corpus())
+        if mesh is not None:
+            mat_sh = NamedSharding(mesh, P(None, "data"))
+            put_mats = lambda mats: tuple(
+                jax.device_put(np.asarray(m), mat_sh) for m in mats
+            )
+        else:
+            put_mats = lambda mats: tuple(jnp.asarray(m) for m in mats)
+        # Validation order is fixed (sequential): one matrix for the run.
+        val_mats = put_mats(val_loader.epoch_batches(0))
     metrics_log = (out / "metrics.jsonl").open("a")
     epochs = max_epochs if max_epochs is not None else tcfg.epochs
     best_path = str(out / "best_model")
@@ -308,30 +361,55 @@ def train(
         # replays the exact stream an uninterrupted run saw.
         rng = jax.random.fold_in(base_rng, epoch)
         train_loader.set_epoch(epoch)
-        for waves, labels, m_mask in _device_prefetch(train_loader, put_train):
-            # Independent keys for augmentation and dropout — passing one
-            # key both directly and through a split would correlate the two
-            # noise sources.
-            rng, aug_key, dropout_key = jax.random.split(rng, 3)
-            state, m = train_step(
-                state, (waves, aug_key), labels, dropout_key, class_weights,
-                mask=m_mask,
+        if use_epoch_scan:
+            # One dispatch for the whole epoch; the in-program key chain
+            # splits exactly like the per-batch loop below.
+            d_idx, d_labels, d_mask = put_mats(
+                train_loader.epoch_batches(epoch)
             )
-            pending.append(m)
-        for m in jax.device_get(pending):
-            acc.update(m)
+            state, ms = train_epoch_fn(
+                state, train_corpus, d_idx, d_labels, d_mask, rng,
+                class_weights,
+            )
+            ms = jax.device_get(ms)
+            for i in range(len(ms["loss"])):
+                acc.update({k: v[i] for k, v in ms.items()})
+        else:
+            for waves, labels, m_mask in _device_prefetch(
+                train_loader, put_train
+            ):
+                # Independent keys for augmentation and dropout — passing
+                # one key both directly and through a split would correlate
+                # the two noise sources.
+                rng, aug_key, dropout_key = jax.random.split(rng, 3)
+                state, m = train_step(
+                    state, (waves, aug_key), labels, dropout_key,
+                    class_weights, mask=m_mask,
+                )
+                pending.append(m)
+            for m in jax.device_get(pending):
+                acc.update(m)
         train_m = acc.summary()
         train_time = time.perf_counter() - t0
 
         # ---- validate ----
         t0 = time.perf_counter()
         vacc = EpochAccumulator()
-        pending = [
-            eval_step(state, waves, labels, class_weights, mask=m_mask)
-            for waves, labels, m_mask in _device_prefetch(val_loader, put_eval)
-        ]
-        for m in jax.device_get(pending):
-            vacc.update(m)
+        if use_epoch_scan:
+            ms = jax.device_get(
+                eval_epoch_fn(state, val_corpus, *val_mats, class_weights)
+            )
+            for i in range(len(ms["loss"])):
+                vacc.update({k: v[i] for k, v in ms.items()})
+        else:
+            pending = [
+                eval_step(state, waves, labels, class_weights, mask=m_mask)
+                for waves, labels, m_mask in _device_prefetch(
+                    val_loader, put_eval
+                )
+            ]
+            for m in jax.device_get(pending):
+                vacc.update(m)
         val_m = vacc.summary()
         val_time = time.perf_counter() - t0
 

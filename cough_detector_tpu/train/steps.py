@@ -211,3 +211,98 @@ def make_train_step(feature_fn: Optional[Callable] = None, donate: bool = True):
 
 def make_eval_step(feature_fn: Optional[Callable] = None):
     return jax.jit(functools.partial(eval_step, feature_fn=feature_fn))
+
+
+# ---------------------------------------------------------------------------
+# Whole-epoch programs over a device-resident corpus
+# ---------------------------------------------------------------------------
+#
+# The reference's hot loop pays per batch: decode, featurize, H2D, dispatch
+# (src/train.py:54-111 + src/dataset.py:121-173). With a corpus that fits
+# HBM (COUGHVID+ESC-50 ≈ 250 MB as int16), the TPU-native endgame is to
+# pay NOTHING per batch: the int16 corpus is uploaded once, each epoch
+# ships only a (steps, B) index matrix (~50 KB), and lax.scan rolls every
+# train step — gather → dequant → augment → features → fwd/bwd → AdamW —
+# into ONE XLA program per epoch. Dispatch overhead and host↔device
+# transfers amortize to zero; through a dev tunnel whose per-dispatch
+# round trip exceeds a step's compute this is the difference between
+# ~1.4k and tens of thousands of clips/s.
+#
+# The PRNG key chain splits exactly like the per-batch loop
+# (rng → (rng, aug, dropout) per step), so both paths see identical
+# augmentation noise and the (seed, epoch) determinism/resume contract is
+# unchanged — tested equal in tests/test_shards.py.
+
+
+def train_epoch_scan(
+    state: TrainState,
+    corpus: jnp.ndarray,
+    idx_mat: jnp.ndarray,
+    labels_mat: jnp.ndarray,
+    mask_mat: jnp.ndarray,
+    rng: jax.Array,
+    class_weights: jnp.ndarray,
+    feature_fn: Callable,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One full training epoch as a single scanned program.
+
+    corpus: (N, segment) int16 (or f32) device-resident waveforms;
+    idx_mat/labels_mat/mask_mat: (steps, B) per-step batch definitions.
+    feature_fn receives (waves, key) like the per-batch path. Returns the
+    final state and per-step metric arrays of shape (steps,).
+    """
+
+    def body(carry, xs):
+        st, key = carry
+        idx, labels, mask = xs
+        key, aug_key, dropout_key = jax.random.split(key, 3)
+        waves = jnp.take(corpus, idx, axis=0)
+        st, m = train_step(
+            st, (waves, aug_key), labels, dropout_key, class_weights,
+            feature_fn=feature_fn, mask=mask,
+        )
+        return (st, key), m
+
+    (state, _), metrics = jax.lax.scan(
+        body, (state, rng), (idx_mat, labels_mat, mask_mat)
+    )
+    return state, metrics
+
+
+def eval_epoch_scan(
+    state: TrainState,
+    corpus: jnp.ndarray,
+    idx_mat: jnp.ndarray,
+    labels_mat: jnp.ndarray,
+    mask_mat: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    feature_fn: Callable,
+) -> Dict[str, jnp.ndarray]:
+    """Full validation pass as one scanned program (metrics per step)."""
+
+    def body(carry, xs):
+        idx, labels, mask = xs
+        waves = jnp.take(corpus, idx, axis=0)
+        m = eval_step(
+            state, waves, labels, class_weights,
+            feature_fn=feature_fn, mask=mask,
+        )
+        return carry, m
+
+    _, metrics = jax.lax.scan(
+        body, 0, (idx_mat, labels_mat, mask_mat)
+    )
+    return metrics
+
+
+def make_epoch_fns(
+    train_feature_fn: Callable, eval_feature_fn: Callable
+) -> Tuple[Callable, Callable]:
+    train_fn = jax.jit(
+        functools.partial(train_epoch_scan, feature_fn=train_feature_fn),
+        donate_argnums=(0,),
+    )
+    eval_fn = jax.jit(
+        functools.partial(eval_epoch_scan, feature_fn=eval_feature_fn)
+    )
+    return train_fn, eval_fn

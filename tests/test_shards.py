@@ -173,6 +173,40 @@ class TestTrainFromShards:
         assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["val_loss"])
         assert (out / "best_model" / "meta.json").exists()
 
+    def test_device_corpus_epoch_scan_matches_streamed_path(
+        self, data_dir, tmp_path
+    ):
+        """The one-scanned-program-per-epoch mode (device-resident int16
+        corpus, train/steps.py epoch-scan) must reproduce the streamed
+        shard path's metrics: same sample order, same augmentation key
+        chain, same masked-loss math — only the dispatch granularity
+        differs."""
+        from cough_detector_tpu.train import train
+
+        shards = self._pack(data_dir, tmp_path)
+        out_scan = tmp_path / "scan"
+        out_stream = tmp_path / "stream"
+        train(None, str(out_scan), config=self._cfg(2), shards_dir=shards,
+              device_corpus=True)
+        train(None, str(out_stream), config=self._cfg(2),
+              shards_dir=shards, device_corpus=False)
+        recs = {}
+        for name, out in (("scan", out_scan), ("stream", out_stream)):
+            recs[name] = [
+                json.loads(l)
+                for l in (out / "metrics.jsonl").read_text().splitlines()
+            ]
+        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        assert len(recs["scan"]) == len(recs["stream"]) == 2
+        for ra, rb in zip(recs["scan"], recs["stream"]):
+            for k, va in ra.items():
+                if k in skip:
+                    continue
+                np.testing.assert_allclose(
+                    rb[k], va, rtol=1e-4, atol=1e-6,
+                    err_msg=f"epoch {ra['epoch']} field {k}",
+                )
+
     def test_resume_from_shards_replays_identical_stream(
         self, data_dir, tmp_path
     ):
