@@ -117,6 +117,72 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
 
 
+_CLIENT_BOOT = (
+    "import sys; sys.path.insert(0, {repo!r}); "
+    "import jax; jax.config.update('jax_platforms', 'cpu'); "
+    "import bench; bench._daemon_client_main(sys.argv[1:])"
+)
+
+
+def _daemon_client_main(argv) -> None:
+    """One load-generator child process (spawned by daemon_bench via a
+    plain subprocess — no multiprocessing, so any caller context is
+    safe): opens n_slots, prints READY, waits for GO on stdin, feeds one
+    real-time 100 ms frame per slot per tick (absolute-deadline pacing),
+    drains events on a thread, prints `EVENTS <n>` and exits. A separate
+    interpreter so the harness's Python work never shares the GIL with
+    the server under test."""
+    import threading
+    import time as _t
+
+    from cough_detector_tpu.data import synth
+    from cough_detector_tpu.serve.client import DetectionClient
+
+    host, port, n_slots, n_frames, tick_s, chunk = (
+        argv[0], int(argv[1]), int(argv[2]), int(argv[3]),
+        float(argv[4]), int(argv[5]),
+    )
+    clip = np.resize(
+        synth.synthetic_cough(3, 2.0), chunk * (n_frames + 1)
+    ).astype(np.float32)
+    client = DetectionClient(host, port)
+    slots = [client.open_stream() for _ in range(n_slots)]
+    done = threading.Event()
+    got = [0]
+
+    def drain():
+        while not done.is_set():
+            got[0] += len(client.events(timeout=0.2))
+        got[0] += len(client.events())
+
+    dt_ = threading.Thread(target=drain, daemon=True)
+    dt_.start()
+    print("READY", flush=True)
+    sys.stdin.readline()  # GO
+    t0 = _t.monotonic()
+    next_t = t0 + tick_s
+    for f in range(n_frames):
+        delay = next_t - _t.monotonic()
+        if delay > 0:
+            _t.sleep(delay)
+        next_t += tick_s
+        lo = (f * chunk) % (clip.size - chunk)
+        frame = clip[lo : lo + chunk]
+        try:
+            for sid in slots:
+                client.send_audio(sid, frame)
+        except OSError:
+            break
+    # How far behind the real-time schedule this generator finished: if
+    # the CLIENT couldn't offer the load, the server row is void.
+    late = _t.monotonic() - (t0 + n_frames * tick_s)
+    _t.sleep(0.5)  # let the tail tick's events arrive
+    done.set()
+    dt_.join(timeout=2.0)
+    print(f"EVENTS {got[0]} LATE {late:.3f}", flush=True)
+    client.close()
+
+
 def daemon_bench(
     num_streams: int = 256,
     n_clients: int = 8,
@@ -124,22 +190,24 @@ def daemon_bench(
     chunk: int = 1600,
 ) -> dict:
     """Benchmark the SOCKET serving tier end-to-end (serve/server.py) —
-    not the in-process engine: M loopback DetectionClients feed real-time
-    100 ms PCM frames across N stream slots of a timer-policy
-    DetectionServer while its device tick runs on the chip. Reports the
-    achieved tick cadence against the 100 ms budget, the server's own
-    tick p50/p99, and delivered/dropped event and sample counts. The
-    daemon is \"real-time at N\" iff cadence holds (≳99 % of expected
-    ticks) with no sample drops.
+    not the in-process engine: M loopback DetectionClient PROCESSES feed
+    real-time 100 ms PCM frames across N stream slots of a timer-policy
+    DetectionServer while its device tick runs on the chip. Clients are
+    separate processes so the measured ceiling is the server's, not the
+    harness's GIL. Reports the achieved tick cadence against the 100 ms
+    budget, the server's own tick/delivery percentiles, and
+    delivered/dropped event and sample counts. The daemon is \"real-time
+    at N\" iff cadence holds (≳99 % of expected ticks) with no sample
+    drops.
     """
-    import threading
+    import os
+    import subprocess
 
     import jax
 
     from cough_detector_tpu.config import default_config
-    from cough_detector_tpu.data import synth
     from cough_detector_tpu.models import create_model, init_model
-    from cough_detector_tpu.serve import DetectionClient, DetectionServer
+    from cough_detector_tpu.serve import DetectionServer
 
     cfg = default_config("residual")
     model = create_model(cfg.model.model_type)
@@ -152,78 +220,60 @@ def daemon_bench(
         debounce_seconds=0.5, tick_policy="timer",
     )
     tick_s = chunk / cfg.features.sample_rate
-
-    # Per-slot audio: a few unique 2 s coughs cycled (content doesn't
-    # affect timing; events exercise the delivery path).
     n_frames = int(round(seconds / tick_s))
-    base = [
-        np.resize(synth.synthetic_cough(i, 2.0), chunk * n_frames)
-        .astype(np.float32)
-        for i in range(min(16, num_streams))
-    ]
-
-    results = {"events": 0}
-    results_lock = threading.Lock()
-    stop = threading.Event()
-
-    def drain(client):
-        got = 0
-        while not stop.is_set():
-            got += len(client.events(timeout=0.2))
-        got += len(client.events())
-        with results_lock:
-            results["events"] += got
-
-    def feed(client, slot_ids):
-        """Absolute-deadline pacing: every tick period, one 100 ms frame
-        per owned slot — the real-time ingest a production frontend
-        would sustain."""
-        next_t = time.monotonic() + tick_s
-        for f in range(n_frames):
-            delay = next_t - time.monotonic()
-            if delay > 0:
-                if stop.wait(delay):
-                    return
-            next_t += tick_s
-            lo, hi = f * chunk, (f + 1) * chunk
-            try:
-                for k, sid in enumerate(slot_ids):
-                    client.send_audio(sid, base[k % len(base)][lo:hi])
-            except OSError:
-                return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    boot = _CLIENT_BOOT.format(repo=repo)
 
     with server:
         host, port = server.address
-        clients, feeders, drainers = [], [], []
         per_client = [
             num_streams // n_clients
             + (1 if i < num_streams % n_clients else 0)
             for i in range(n_clients)
         ]
+        procs = []
         for m in per_client:
-            c = DetectionClient(host, port)
-            slots = [c.open_stream() for _ in range(m)]
-            clients.append((c, slots))
-        # Ticks already run during the open loop (the timer starts with
-        # the first slot) must not count toward the timed window.
-        ticks0 = server.stats()["ticks"]
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", boot, host, str(port), str(m),
+                 str(n_frames), repr(tick_s), str(chunk)],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            ))
+        for p in procs:
+            line = p.stdout.readline()
+            if line.strip() != "READY":
+                for q in procs:
+                    q.kill()
+                raise RuntimeError(f"daemon bench client failed: {line!r}")
+        # Ticks already run during the open phase (the timer starts with
+        # the first slot) must not count toward the timed window. Cadence
+        # is measured on the DISPATCH clock over an exact wall window —
+        # the timer loop blocks when the delivery pipeline is chronically
+        # behind, so missed dispatches are the real-time failure signal;
+        # delivery health shows in the lag percentiles and tick counts.
+        d0 = server.stats()["dispatched"]
         t_start = time.monotonic()
-        for c, slots in clients:
-            ft = threading.Thread(target=feed, args=(c, slots), daemon=True)
-            dt_ = threading.Thread(target=drain, args=(c,), daemon=True)
-            ft.start(); dt_.start()
-            feeders.append(ft); drainers.append(dt_)
-        for ft in feeders:
-            ft.join(timeout=seconds + 30)
+        for p in procs:
+            p.stdin.write("GO\n")
+            p.stdin.flush()
+        time.sleep(seconds)
         elapsed = time.monotonic() - t_start
-        stop.set()
-        for dt_ in drainers:
-            dt_.join(timeout=2.0)
+        d1 = server.stats()["dispatched"]
+        total_events = 0
+        max_late = 0.0
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out = ""
+            for line in out.splitlines():
+                if line.startswith("EVENTS "):
+                    parts = line.split()
+                    total_events += int(parts[1])
+                    if len(parts) >= 4:
+                        max_late = max(max_late, float(parts[3]))
         stats = server.stats()
-        for c, _ in clients:
-            c.close()
-
-    timed_ticks = stats["ticks"] - ticks0
+    timed_ticks = d1 - d0
     expected_ticks = elapsed / tick_s
     cadence = timed_ticks / max(expected_ticks, 1e-9)
     record = {
@@ -238,11 +288,17 @@ def daemon_bench(
         "delivery_lag_ms_p50": stats.get("delivery_lag_ms_p50"),
         "delivery_lag_ms_p99": stats.get("delivery_lag_ms_p99"),
         "cadence": round(cadence, 4),
-        "events_delivered": results["events"],
+        "events_delivered": total_events,
         "events_dropped": stats["events_dropped"],
         "dropped_samples": stats["dropped_samples"],
+        "max_client_late_s": round(max_late, 3),
+        # Valid only if the generators actually OFFERED the load: a row
+        # where clients fell behind real time proves nothing about the
+        # server.
         "realtime_at_this_count": bool(
-            cadence > 0.99 and stats["dropped_samples"] == 0
+            cadence > 0.99
+            and stats["dropped_samples"] == 0
+            and max_late < 1.0
         ),
     }
     print(json.dumps(record), flush=True)
@@ -328,7 +384,7 @@ if __name__ == "__main__":
         # Host-side ceiling of the socket tier: ramp stream counts until
         # the timer loop misses cadence or slots overflow. Every row is a
         # real multi-client run at that count.
-        for s in (256, 512, 1024, 2048, 4096):
+        for s in (512, 1024, 2048, 4096, 8192):
             rec = daemon_bench(num_streams=s, seconds=20.0)
             if not rec["realtime_at_this_count"]:
                 break

@@ -293,7 +293,13 @@ class DetectionServer:
         with self._reg_lock:
             open_slots = len(self._slots)
         with self._stats_lock:
-            out = {**self._stats, "open_streams": open_slots}
+            out = {
+                **self._stats,
+                "open_streams": open_slots,
+                # Dispatch-side tick clock (single-writer: tick thread);
+                # "ticks" minus this bounds the delivery pipeline depth.
+                "dispatched": self._dispatched,
+            }
             ticks = np.asarray(self._tick_times)
             lags = np.asarray(self._lag_times)
         if ticks.size:
