@@ -188,6 +188,7 @@ def daemon_bench(
     n_clients: int = 8,
     seconds: float = 30.0,
     chunk: int = 1600,
+    backend: str = "python",
 ) -> dict:
     """Benchmark the SOCKET serving tier end-to-end (serve/server.py) —
     not the in-process engine: M loopback DetectionClient PROCESSES feed
@@ -217,7 +218,7 @@ def daemon_bench(
     server = DetectionServer(
         variables=variables, config=cfg, num_streams=num_streams,
         chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
-        debounce_seconds=0.5, tick_policy="timer",
+        debounce_seconds=0.5, tick_policy="timer", backend=backend,
     )
     tick_s = chunk / cfg.features.sample_rate
     n_frames = int(round(seconds / tick_s))
@@ -278,6 +279,7 @@ def daemon_bench(
     cadence = timed_ticks / max(expected_ticks, 1e-9)
     record = {
         "metric": "serving_daemon_socket_tier",
+        "backend": server.backend,
         "num_streams": num_streams,
         "n_clients": n_clients,
         "seconds": round(elapsed, 1),
@@ -380,12 +382,16 @@ def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
 
 
 if __name__ == "__main__":
+    backend = "python"
+    if "--backend" in sys.argv:
+        backend = sys.argv[sys.argv.index("--backend") + 1]
     if "--daemon-ramp" in sys.argv:
         # Host-side ceiling of the socket tier: ramp stream counts until
         # the timer loop misses cadence or slots overflow. Every row is a
         # real multi-client run at that count.
         for s in (512, 1024, 2048, 4096, 8192):
-            rec = daemon_bench(num_streams=s, seconds=20.0)
+            rec = daemon_bench(num_streams=s, seconds=20.0,
+                               backend=backend)
             if not rec["realtime_at_this_count"]:
                 break
     elif "--daemon" in sys.argv:
@@ -398,7 +404,8 @@ if __name__ == "__main__":
         secs = 30.0
         if "--seconds" in sys.argv:
             secs = float(sys.argv[sys.argv.index("--seconds") + 1])
-        daemon_bench(num_streams=n, n_clients=m, seconds=secs)
+        daemon_bench(num_streams=n, n_clients=m, seconds=secs,
+                     backend=backend)
     elif "--serving-sweep" in sys.argv:
         # Measured capacity curve (VERDICT r1 §next-6): every point is a
         # real run at that stream count, not arithmetic from a smaller one.

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="high",
                    help='"serve" = opt-in mixed-precision classifier '
                         "(docs/PARITY.md) for trained checkpoints")
+    p.add_argument("--backend", choices=["auto", "python", "native"],
+                   default="auto",
+                   help="Socket tier: native = C++ epoll data plane "
+                        "(no Python in the per-frame path; ~4x the "
+                        "stream ceiling), python = portable fallback, "
+                        "auto = native when the toolchain built it")
     p.add_argument("--stats-interval", type=float, default=10.0)
     p.add_argument("--max-seconds", type=float, default=None,
                    help="Exit after this long (smoke tests / supervisors)")
@@ -61,6 +67,7 @@ def main(argv=None) -> None:
         tick_policy=args.tick_policy,
         buffer_seconds=args.buffer_seconds,
         precision_mode=args.precision_mode,
+        backend=args.backend,
     )
     host, port = server.address[0], server.address[1]
     with server:
@@ -77,6 +84,7 @@ def main(argv=None) -> None:
             "serving": True, "host": host, "port": port,
             "streams": args.streams, "chunk_ms": args.chunk_ms,
             "model_type": config.model.model_type,
+            "backend": server.backend,
         }), flush=True)
         try:
             while deadline is None or time.time() < deadline:

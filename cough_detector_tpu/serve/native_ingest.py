@@ -1,0 +1,208 @@
+"""ctypes bindings for the native (C++) serving socket plane.
+
+`native/cdt_ingest.cpp` owns the daemon's entire socket tier — accept,
+framing, slot allocation, per-slot ring buffers, event encode/writeback
+— in one epoll thread, no Python (and no GIL) in the per-frame path.
+The Python server keeps the device plane and calls: `granted()` at each
+tick start (new tenants to scrub), `assemble()` to fill the (S, chunk)
+batch, and `send_events()` from the delivery router. Built on demand
+with g++, same pattern as data/native_loader.py; `available()` is False
+without a toolchain and the server falls back to the pure-Python socket
+tier (same wire protocol, lower ceiling — BASELINE.md daemon table).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_SRC = _NATIVE_DIR / "cdt_ingest.cpp"
+_LIB = _NATIVE_DIR / "libcdt_ingest.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> Optional[Path]:
+    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",
+        "-o", str(_LIB), str(_SRC),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB
+    except Exception:
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not _SRC.exists() or _build() is None:
+            _build_failed = True
+            print("native ingest build failed; python socket tier in use")
+            return None
+        lib = ctypes.CDLL(str(_LIB))
+        lib.cdt_ingest_start.restype = ctypes.c_void_p
+        lib.cdt_ingest_start.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.cdt_ingest_port.restype = ctypes.c_int
+        lib.cdt_ingest_port.argtypes = [ctypes.c_void_p]
+        lib.cdt_ingest_granted.restype = ctypes.c_int
+        lib.cdt_ingest_granted.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint), ctypes.c_int,
+        ]
+        lib.cdt_ingest_assemble.restype = ctypes.c_int
+        lib.cdt_ingest_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.cdt_ingest_send_events.restype = None
+        lib.cdt_ingest_send_events.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.cdt_ingest_stats.restype = None
+        lib.cdt_ingest_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+            ctypes.c_int,
+        ]
+        lib.cdt_ingest_stop.restype = None
+        lib.cdt_ingest_stop.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeIngest:
+    """One native socket plane instance (see module docstring)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        num_streams: int,
+        chunk: int,
+        buffer_cap: int,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native ingest unavailable (no toolchain?)")
+        self._lib = lib
+        errbuf = ctypes.create_string_buffer(256)
+        self._h = lib.cdt_ingest_start(
+            host.encode(), port, num_streams, chunk, buffer_cap,
+            errbuf, len(errbuf),
+        )
+        if not self._h:
+            raise OSError(
+                f"native ingest start failed: "
+                f"{errbuf.value.decode(errors='replace')}"
+            )
+        self.num_streams = num_streams
+        self.chunk = chunk
+        self.address = (host, int(lib.cdt_ingest_port(self._h)))
+        self._granted_ids = np.empty(num_streams, np.int32)
+        self._granted_gens = np.empty(num_streams, np.uint32)
+        self._final_stats: Optional[dict] = None
+
+    def granted(self) -> List[Tuple[int, int]]:
+        """(slot, generation) pairs granted since the last call; calling
+        this ACTIVATES them for assembly — scrub the device lanes before
+        the tick that follows."""
+        if self._h is None:
+            return []
+        n = self._lib.cdt_ingest_granted(
+            self._h,
+            self._granted_ids.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int)
+            ),
+            self._granted_gens.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint)
+            ),
+            self.num_streams,
+        )
+        return [
+            (int(self._granted_ids[i]), int(self._granted_gens[i]))
+            for i in range(n)
+        ]
+
+    def assemble(self, dst: np.ndarray) -> int:
+        """Fill dst (num_streams, chunk) f32 with one tick of audio
+        (zero-filled underruns); returns the open-slot count."""
+        assert dst.shape == (self.num_streams, self.chunk)
+        assert dst.dtype == np.float32 and dst.flags.c_contiguous
+        if self._h is None:
+            dst[:] = 0.0
+            return 0
+        return int(self._lib.cdt_ingest_assemble(
+            self._h,
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ))
+
+    def send_events(
+        self,
+        slots: np.ndarray,
+        gens: np.ndarray,
+        times: np.ndarray,
+        confs: np.ndarray,
+    ) -> None:
+        n = len(slots)
+        if n == 0 or self._h is None:
+            return
+        slots = np.ascontiguousarray(slots, np.int32)
+        gens = np.ascontiguousarray(gens, np.uint32)
+        times = np.ascontiguousarray(times, np.float64)
+        confs = np.ascontiguousarray(confs, np.float32)
+        self._lib.cdt_ingest_send_events(
+            self._h, n,
+            slots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            gens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            confs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+
+    def stats(self) -> dict:
+        if self._h is None:
+            # Post-stop callers (final CLI stats line) get the snapshot
+            # taken at stop — never a NULL handle into the C ABI.
+            return dict(self._final_stats or {
+                "connections": 0, "refused": 0, "dropped_samples": 0,
+                "events": 0, "events_dropped": 0, "open_streams": 0,
+            })
+        out = (ctypes.c_longlong * 6)()
+        self._lib.cdt_ingest_stats(self._h, out, 6)
+        return {
+            "connections": int(out[0]),
+            "refused": int(out[1]),
+            "dropped_samples": int(out[2]),
+            "events": int(out[3]),
+            "events_dropped": int(out[4]),
+            "open_streams": int(out[5]),
+        }
+
+    def stop(self) -> None:
+        if self._h:
+            self._final_stats = self.stats()
+            self._lib.cdt_ingest_stop(self._h)
+            self._h = None

@@ -182,9 +182,30 @@ class DetectionServer:
         mesh=None,
         precision_mode: str = "high",
         delivery_workers: int = 4,
+        backend: str = "auto",
     ):
+        """`backend`: "python" (portable socket tier, this module),
+        "native" (C++ epoll data plane, native/cdt_ingest.cpp — no
+        Python in the per-frame path, ~4x the stream ceiling), or
+        "auto" (native when the toolchain built it, else python). Both
+        speak the identical wire protocol; the native plane is
+        timer-policy only (eager ticking needs per-slot buffer
+        introspection the C ABI doesn't expose)."""
         if tick_policy not in ("timer", "eager"):
             raise ValueError(f"unknown tick_policy {tick_policy!r}")
+        if backend == "auto":
+            from . import native_ingest
+
+            backend = (
+                "native"
+                if tick_policy == "timer" and native_ingest.available()
+                else "python"
+            )
+        if backend not in ("python", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "native" and tick_policy != "timer":
+            raise ValueError("native backend supports tick_policy='timer'")
+        self.backend = backend
         self._detector = StreamingDetector(
             model_path,
             variables=variables,
@@ -237,8 +258,27 @@ class DetectionServer:
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
-        self._listener = socket.create_server((host, port))
-        self.address = self._listener.getsockname()
+        if backend == "native":
+            from .native_ingest import NativeIngest
+
+            self._ingest = NativeIngest(
+                host, port, num_streams, chunk_size, self._buffer_cap
+            )
+            self.address = self._ingest.address
+            self._listener = None
+            # slot id → (generation, open_sample): the control-plane view
+            # the router needs for retiming + reuse-safe event delivery.
+            self._slot_meta: Dict[int, tuple] = {}
+            # Double-buffered assembly target: tick N+1 must not mutate
+            # the host array whose H2D transfer tick N may still read.
+            self._assemble_bufs = [
+                np.zeros((num_streams, chunk_size), np.float32)
+                for _ in range(2)
+            ]
+        else:
+            self._ingest = None
+            self._listener = socket.create_server((host, port))
+            self.address = self._listener.getsockname()
 
     # -- lifecycle -------------------------------------------------------
 
@@ -254,8 +294,9 @@ class DetectionServer:
         # real OPEN can never stall the timer loop on a cold-TPU compile.
         self._detector.reset_streams([])
         self._detector.reset()
-        self._threads = [
+        self._threads = ([
             threading.Thread(target=self._accept_loop, daemon=True),
+        ] if self._ingest is None else []) + [
             threading.Thread(target=self._tick_loop, daemon=True),
             threading.Thread(target=self._router_loop, daemon=True),
         ] + [
@@ -267,12 +308,15 @@ class DetectionServer:
 
     def stop(self) -> None:
         self._stop.set()
-        try:
-            self._listener.close()
-        except OSError:
-            pass
+        if self._listener is not None:
+            try:
+                self._listener.close()
+            except OSError:
+                pass
         for t in self._threads:
             t.join(timeout=5.0)
+        if self._ingest is not None:
+            self._ingest.stop()
 
     def __enter__(self):
         self.start()
@@ -289,7 +333,37 @@ class DetectionServer:
     def stats(self) -> dict:
         """`ticks` counts DELIVERED ticks (events fetched + routed);
         tick_ms_* is the dispatch cost on the real-time timer thread,
-        delivery_lag_ms_* the dispatch→routed pipeline latency."""
+        delivery_lag_ms_* the dispatch→routed pipeline latency. With the
+        native backend the socket-side counters (connections, refused,
+        dropped_samples, events, events_dropped, open_streams) come from
+        the C++ plane."""
+        if self._ingest is not None:
+            native = self._ingest.stats()
+            with self._stats_lock:
+                out = {
+                    **self._stats,
+                    **native,
+                    "backend": "native",
+                    "ticks": self._stats["ticks"],
+                    "dispatched": self._dispatched,
+                }
+                ticks = np.asarray(self._tick_times)
+                lags = np.asarray(self._lag_times)
+            if ticks.size:
+                out["tick_ms_p50"] = round(
+                    float(np.percentile(ticks, 50)) * 1e3, 3
+                )
+                out["tick_ms_p99"] = round(
+                    float(np.percentile(ticks, 99)) * 1e3, 3
+                )
+            if lags.size:
+                out["delivery_lag_ms_p50"] = round(
+                    float(np.percentile(lags, 50)) * 1e3, 3
+                )
+                out["delivery_lag_ms_p99"] = round(
+                    float(np.percentile(lags, 99)) * 1e3, 3
+                )
+            return out
         with self._reg_lock:
             open_slots = len(self._slots)
         with self._stats_lock:
@@ -433,16 +507,48 @@ class DetectionServer:
             next_t += self._tick_seconds
             if next_t < time.monotonic() - self._tick_seconds:
                 next_t = time.monotonic() + self._tick_seconds
-            with self._reg_lock:
-                any_open = bool(self._slots)
+            if self._ingest is not None:
+                any_open = self._ingest.stats()["open_streams"] > 0
+            else:
+                with self._reg_lock:
+                    any_open = bool(self._slots)
             if any_open:
                 self._tick_once()
+
+    def _tick_once_native(self) -> None:
+        """Native-backend tick: the C++ plane already buffered the audio;
+        this thread scrubs newly granted lanes, assembles the batch with
+        one ctypes call (no per-frame Python anywhere), and dispatches."""
+        granted = self._ingest.granted()
+        if granted:
+            self._detector.reset_streams([sid for sid, _ in granted])
+            start_sample = self._dispatched * self.chunk_size
+            for sid, gen in granted:
+                self._slot_meta[sid] = (gen, start_sample)
+        buf = self._assemble_bufs[self._dispatched % 2]
+        self._ingest.assemble(buf)
+        t0 = time.perf_counter()
+        events = self._detector.tick_async(buf)
+        with self._stats_lock:
+            self._tick_times.append(time.perf_counter() - t0)
+        serial = self._dispatched
+        self._dispatched += 1
+        live = dict(self._slot_meta)  # snapshot: retiming is tick-local
+        while not self._stop.is_set():
+            try:
+                self._inflight.put((serial, live, events, t0), timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def _tick_once(self) -> None:
         """Assemble + DISPATCH one device tick; never fetches. Event
         fetch/routing happens on the delivery thread one tick behind
         (see _inflight in __init__), so the real-time cadence of this
         loop is independent of host↔device round-trip latency."""
+        if self._ingest is not None:
+            self._tick_once_native()
+            return
         chunk = np.zeros((self.num_streams, self.chunk_size), np.float32)
         with self._reg_lock:
             live = dict(self._slots)
@@ -510,7 +616,10 @@ class DetectionServer:
                 self._stats["ticks"] += 1
             next_serial += 1
 
-    def _deliver(self, live: Dict[int, _Slot], detections) -> None:
+    def _deliver(self, live, detections) -> None:
+        if self._ingest is not None:
+            self._deliver_native(live, detections)
+            return
         window_s = self._detector.stream_config.window_duration
         for det in detections:
             slot = live.get(det.stream)
@@ -532,3 +641,30 @@ class DetectionServer:
                 self._bump("events")
             else:
                 self._bump("events_dropped")
+
+    def _deliver_native(self, live, detections) -> None:
+        """Route one tick's detections through the C++ plane: retime
+        against each slot's open_sample (captured at tick time), suppress
+        pre-open padding windows, and hand the batch to
+        cdt_ingest_send_events — generation-checked there so a slot
+        released or re-granted mid-flight can never receive another
+        tenant's event."""
+        window_s = self._detector.stream_config.window_duration
+        slots, gens, times, confs = [], [], [], []
+        for det in detections:
+            meta = live.get(det.stream)
+            if meta is None:
+                continue
+            gen, open_sample = meta
+            t_rel = det.time_seconds - open_sample / self._sample_rate
+            if t_rel < window_s - 1e-9:
+                continue  # scored pre-open zero padding, not tenant audio
+            slots.append(det.stream)
+            gens.append(gen)
+            times.append(round(t_rel, 6))
+            confs.append(det.confidence)
+        if slots:
+            self._ingest.send_events(
+                np.asarray(slots, np.int32), np.asarray(gens, np.uint32),
+                np.asarray(times, np.float64), np.asarray(confs, np.float32),
+            )

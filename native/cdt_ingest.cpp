@@ -1,0 +1,619 @@
+// Native socket data plane for the multi-stream detection server.
+//
+// The Python serving daemon (cough_detector_tpu/serve/server.py) is
+// GIL-bound at ~512 real-time streams: parsing ~10k AUDIO frames/s,
+// assembling the (S, chunk) tick batch and routing events all contend
+// with the JAX dispatch/fetch threads (measured, BASELINE.md daemon
+// table). This plane moves the ENTIRE socket tier — accept, framing,
+// slot allocation, per-slot ring buffers, event encoding/writeback —
+// into one epoll thread with no Python in the per-frame path. Python
+// keeps the device plane: per tick it calls cdt_ingest_assemble() (one
+// memcpy-per-slot fill of the batch), dispatches the XLA tick, and
+// hands detections back via cdt_ingest_send_events().
+//
+// Wire protocol: byte-identical to serve/protocol.py —
+//   header <HBBII> little-endian: magic 0x0CD7, type u8, flags u8,
+//   stream u32, length u32; AUDIO payload f32le PCM; EVENT payload
+//   UTF-8 JSON {"time": s, "confidence": p}; ERROR payload UTF-8 text.
+//
+// Isolation semantics mirror the Python backend exactly:
+//   * a granted slot stays PENDING (assemble zero-fills it) until the
+//     control plane acknowledges it via cdt_ingest_granted() and scrubs
+//     the device-side lane — a new tenant's audio is never scored
+//     through the previous tenant's ring/history/debounce state;
+//   * slot reuse bumps a generation; events carrying a stale generation
+//     are dropped, never cross-delivered;
+//   * per-slot buffers are bounded, overflow drops OLDEST and counts;
+//   * per-connection outboxes are bounded, events to a stalled client
+//     are dropped and counted — one slow client never blocks the tick;
+//   * protocol violations get a best-effort ERROR, then only that
+//     connection dies.
+//
+// Build: g++ -O3 -fPIC -shared -pthread -std=c++17 (see
+// serve/native_ingest.py; same on-demand pattern as cdt_loader.cpp).
+
+#include <arpa/inet.h>
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <fcntl.h>
+#include <mutex>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
+#include <memory>
+#include <string>
+#include <sys/epoll.h>
+#include <sys/eventfd.h>
+#include <sys/socket.h>
+#include <thread>
+#include <unistd.h>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t kMagic = 0x0CD7;
+constexpr int kHeaderSize = 12;
+constexpr uint32_t kMaxPayload = 16u << 20;
+constexpr size_t kOutboxCap = 4u << 20;  // bytes per connection
+
+enum FrameType : uint8_t {
+  OPEN = 1, OPENED = 2, AUDIO = 3, EVENT = 4, CLOSE = 5, ERR = 6,
+};
+
+struct Conn;
+
+struct Slot {
+  std::mutex m;
+  std::vector<float> ring;   // capacity buffer_cap samples
+  size_t rd = 0, wr = 0;     // absolute sample counters (rd <= wr)
+  Conn* owner = nullptr;
+  uint32_t gen = 0;          // bumped per grant
+  bool open = false;
+  bool pending = false;      // granted but not yet scrubbed by control
+};
+
+struct Conn {
+  int fd = -1;
+  std::vector<uint8_t> inbuf;
+  std::deque<uint8_t> outbox;
+  std::mutex out_m;
+  std::vector<int> slots;    // owned slot ids
+  bool dead = false;         // marked for reaping (io loop collects)
+  bool closed = false;       // cleanup done (close_conn ran)
+  bool want_write = false;
+};
+
+struct Header {
+  uint8_t type;
+  uint32_t stream;
+  uint32_t length;
+};
+
+struct Server {
+  int listen_fd = -1;
+  int epoll_fd = -1;
+  int wake_fd = -1;          // eventfd: router wants a flush / stop
+  int port = 0;
+  int num_streams = 0;
+  int chunk = 0;
+  long buffer_cap = 0;
+
+  std::thread io;
+  bool stopping = false;
+
+  std::mutex reg_m;          // slots' registry fields, free list, conns
+  std::vector<std::unique_ptr<Slot>> slots;
+  std::vector<int> free_slots;
+  std::vector<std::pair<int, uint32_t>> granted;  // since last fetch
+  std::unordered_map<int, Conn*> conns;           // fd -> conn
+
+  // stats (reg_m)
+  long long st_connections = 0, st_refused = 0, st_dropped_samples = 0,
+            st_events = 0, st_events_dropped = 0;
+};
+
+void set_err(char* errbuf, int errlen, const char* msg) {
+  if (errbuf && errlen > 0) {
+    std::snprintf(errbuf, (size_t)errlen, "%s", msg);
+  }
+}
+
+bool set_nonblock(int fd) {
+  int fl = fcntl(fd, F_GETFL, 0);
+  return fl >= 0 && fcntl(fd, F_SETFL, fl | O_NONBLOCK) == 0;
+}
+
+void enqueue_bytes(Server* s, Conn* c, const uint8_t* data, size_t n,
+                   bool* dropped) {
+  std::lock_guard<std::mutex> lk(c->out_m);
+  if (c->outbox.size() + n > kOutboxCap) {
+    if (dropped) *dropped = true;
+    return;
+  }
+  c->outbox.insert(c->outbox.end(), data, data + n);
+  if (dropped) *dropped = false;
+}
+
+void make_header(uint8_t* out, uint8_t type, uint32_t stream,
+                 uint32_t length) {
+  out[0] = (uint8_t)(kMagic & 0xff);
+  out[1] = (uint8_t)(kMagic >> 8);
+  out[2] = type;
+  out[3] = 0;
+  std::memcpy(out + 4, &stream, 4);   // x86: little-endian already
+  std::memcpy(out + 8, &length, 4);
+}
+
+void send_frame(Server* s, Conn* c, uint8_t type, uint32_t stream,
+                const uint8_t* payload, uint32_t len, bool* dropped) {
+  std::vector<uint8_t> buf(kHeaderSize + len);
+  make_header(buf.data(), type, stream, len);
+  if (len) std::memcpy(buf.data() + kHeaderSize, payload, len);
+  enqueue_bytes(s, c, buf.data(), buf.size(), dropped);
+  c->want_write = true;
+}
+
+// reg_m held.
+void release_slot_locked(Server* s, int sid, Conn* c) {
+  Slot& sl = *s->slots[sid];
+  std::lock_guard<std::mutex> lk(sl.m);
+  if (!sl.open || sl.owner != c) return;
+  sl.open = false;
+  sl.pending = false;
+  sl.owner = nullptr;
+  sl.rd = sl.wr = 0;
+  s->free_slots.push_back(sid);
+}
+
+// epoll thread only. Callers mark c->dead to request reaping; the
+// `closed` flag (not `dead`) guards double-cleanup — reap lists can
+// carry the same connection twice in one epoll batch.
+void close_conn(Server* s, Conn* c) {
+  if (c->closed) return;
+  c->closed = true;
+  c->dead = true;
+  {
+    std::lock_guard<std::mutex> lk(s->reg_m);
+    for (int sid : c->slots) release_slot_locked(s, sid, c);
+    c->slots.clear();
+    s->conns.erase(c->fd);
+  }
+  epoll_ctl(s->epoll_fd, EPOLL_CTL_DEL, c->fd, nullptr);
+  ::close(c->fd);
+  delete c;  // safe: send_events reaches conns only under reg_m
+}
+
+void flush_conn(Server* s, Conn* c) {
+  std::lock_guard<std::mutex> lk(c->out_m);
+  while (!c->outbox.empty()) {
+    uint8_t tmp[16384];
+    size_t n = 0;
+    for (auto it = c->outbox.begin();
+         it != c->outbox.end() && n < sizeof(tmp); ++it) {
+      tmp[n++] = *it;
+    }
+    ssize_t w = ::send(c->fd, tmp, n, MSG_NOSIGNAL);
+    if (w > 0) {
+      c->outbox.erase(c->outbox.begin(), c->outbox.begin() + w);
+      if ((size_t)w < n) break;  // kernel buffer full
+    } else if (w < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+      break;
+    } else {
+      c->dead = true;  // real error; reaped by caller
+      return;
+    }
+  }
+}
+
+void rearm(Server* s, Conn* c) {
+  bool pending_out;
+  {
+    std::lock_guard<std::mutex> lk(c->out_m);
+    pending_out = !c->outbox.empty();
+  }
+  epoll_event ev{};
+  ev.events = EPOLLIN | (pending_out ? EPOLLOUT : 0);
+  ev.data.ptr = c;
+  epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, c->fd, &ev);
+}
+
+void protocol_error(Server* s, Conn* c, const char* msg) {
+  bool dropped;
+  send_frame(s, c, ERR, 0, (const uint8_t*)msg, (uint32_t)strlen(msg),
+             &dropped);
+  flush_conn(s, c);  // best effort before the connection dies
+  c->dead = true;
+}
+
+void handle_frame(Server* s, Conn* c, const Header& h,
+                  const uint8_t* payload) {
+  switch (h.type) {
+    case OPEN: {
+      int sid = -1;
+      uint32_t gen = 0;
+      {
+        std::lock_guard<std::mutex> lk(s->reg_m);
+        if (!s->free_slots.empty()) {
+          sid = s->free_slots.back();
+          s->free_slots.pop_back();
+          Slot& sl = *s->slots[sid];
+          std::lock_guard<std::mutex> slk(sl.m);
+          sl.open = true;
+          sl.pending = true;  // zero-scored until control scrubs it
+          sl.owner = c;
+          sl.gen += 1;
+          sl.rd = sl.wr = 0;
+          gen = sl.gen;
+          c->slots.push_back(sid);
+          s->granted.emplace_back(sid, gen);
+        } else {
+          s->st_refused += 1;
+        }
+      }
+      bool dropped;
+      if (sid < 0) {
+        const char* msg = "no free stream slots";
+        send_frame(s, c, ERR, 0, (const uint8_t*)msg,
+                   (uint32_t)strlen(msg), &dropped);
+      } else {
+        send_frame(s, c, OPENED, (uint32_t)sid, nullptr, 0, &dropped);
+      }
+      break;
+    }
+    case AUDIO: {
+      if (h.length % 4 != 0) {
+        protocol_error(s, c, "AUDIO payload not float32-aligned");
+        return;
+      }
+      if (h.stream >= (uint32_t)s->num_streams) {
+        protocol_error(s, c, "AUDIO for unknown slot");
+        return;
+      }
+      Slot& sl = *s->slots[h.stream];
+      bool owned = true;
+      long long dropped = 0;
+      {
+        std::lock_guard<std::mutex> lk(sl.m);
+        if (!sl.open || sl.owner != c) {
+          owned = false;
+        } else {
+          size_t n = h.length / 4;
+          const float* src = (const float*)payload;
+          size_t cap = (size_t)s->buffer_cap;
+          // Drop OLDEST on overflow, counted (outside sl.m: lock order
+          // everywhere else is reg_m -> sl.m).
+          size_t need = sl.wr + n > sl.rd + cap
+                            ? (sl.wr + n) - (sl.rd + cap) : 0;
+          if (need) {
+            sl.rd += need;
+            dropped = (long long)need;
+          }
+          if (n >= cap) {  // giant frame: keep only the newest samples
+            src += n - cap;
+            n = cap;
+            sl.rd = sl.wr;
+          }
+          size_t w = sl.wr % cap;
+          size_t first = n < cap - w ? n : cap - w;
+          std::memcpy(sl.ring.data() + w, src, first * sizeof(float));
+          if (n > first) {
+            std::memcpy(sl.ring.data(), src + first,
+                        (n - first) * sizeof(float));
+          }
+          sl.wr += n;
+        }
+      }
+      if (dropped) {
+        std::lock_guard<std::mutex> rk(s->reg_m);
+        s->st_dropped_samples += dropped;
+      }
+      if (!owned) {
+        // Match the Python server: audio for an unowned slot is a
+        // protocol violation.
+        protocol_error(s, c, "AUDIO for unowned slot");
+      }
+      return;
+    }
+    case CLOSE: {
+      std::lock_guard<std::mutex> lk(s->reg_m);
+      if (h.stream < (uint32_t)s->num_streams) {
+        release_slot_locked(s, (int)h.stream, c);
+        for (size_t i = 0; i < c->slots.size(); ++i) {
+          if (c->slots[i] == (int)h.stream) {
+            c->slots.erase(c->slots.begin() + i);
+            break;
+          }
+        }
+      }
+      break;
+    }
+    default:
+      protocol_error(s, c, "unexpected frame type");
+  }
+}
+
+void drain_input(Server* s, Conn* c) {
+  uint8_t tmp[65536];
+  for (;;) {
+    ssize_t r = ::recv(c->fd, tmp, sizeof(tmp), 0);
+    if (r > 0) {
+      c->inbuf.insert(c->inbuf.end(), tmp, tmp + r);
+      if ((size_t)r < sizeof(tmp)) break;
+    } else if (r == 0) {
+      c->dead = true;
+      break;
+    } else if (errno == EAGAIN || errno == EWOULDBLOCK) {
+      break;
+    } else {
+      c->dead = true;
+      break;
+    }
+  }
+  // Parse complete frames.
+  size_t off = 0;
+  while (!c->dead && c->inbuf.size() - off >= kHeaderSize) {
+    const uint8_t* p = c->inbuf.data() + off;
+    uint16_t magic = (uint16_t)(p[0] | (p[1] << 8));
+    if (magic != kMagic) {
+      protocol_error(s, c, "bad magic");
+      break;
+    }
+    Header h;
+    h.type = p[2];
+    std::memcpy(&h.stream, p + 4, 4);
+    std::memcpy(&h.length, p + 8, 4);
+    if (h.length > kMaxPayload) {
+      protocol_error(s, c, "oversized frame");
+      break;
+    }
+    if (c->inbuf.size() - off - kHeaderSize < h.length) break;
+    handle_frame(s, c, h, p + kHeaderSize);
+    off += kHeaderSize + h.length;
+  }
+  if (off) c->inbuf.erase(c->inbuf.begin(), c->inbuf.begin() + off);
+}
+
+void io_loop(Server* s) {
+  epoll_event evs[128];
+  for (;;) {
+    int n = epoll_wait(s->epoll_fd, evs, 128, 200);
+    if (s->stopping) return;
+    std::vector<Conn*> reap;
+    for (int i = 0; i < n; ++i) {
+      void* ptr = evs[i].data.ptr;
+      if (ptr == (void*)&s->listen_fd) {
+        for (;;) {
+          int fd = accept4(s->listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
+          if (fd < 0) break;
+          int one = 1;
+          setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+          Conn* c = new Conn();
+          c->fd = fd;
+          {
+            std::lock_guard<std::mutex> lk(s->reg_m);
+            s->conns[fd] = c;
+            s->st_connections += 1;
+          }
+          epoll_event ev{};
+          ev.events = EPOLLIN;
+          ev.data.ptr = c;
+          epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, fd, &ev);
+        }
+      } else if (ptr == (void*)&s->wake_fd) {
+        uint64_t junk;
+        while (read(s->wake_fd, &junk, 8) == 8) {
+        }
+        // Router enqueued events: flush every connection with output.
+        std::vector<Conn*> cs;
+        {
+          std::lock_guard<std::mutex> lk(s->reg_m);
+          cs.reserve(s->conns.size());
+          for (auto& kv : s->conns) cs.push_back(kv.second);
+        }
+        for (Conn* c : cs) {
+          flush_conn(s, c);
+          if (c->dead) reap.push_back(c);
+          else rearm(s, c);
+        }
+      } else {
+        Conn* c = (Conn*)ptr;
+        if (evs[i].events & (EPOLLHUP | EPOLLERR)) c->dead = true;
+        if (!c->dead && (evs[i].events & EPOLLIN)) drain_input(s, c);
+        if (!c->dead && (evs[i].events & EPOLLOUT)) flush_conn(s, c);
+        if (c->dead) reap.push_back(c);
+        else rearm(s, c);
+      }
+    }
+    for (Conn* c : reap) close_conn(s, c);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* cdt_ingest_start(const char* host, int port, int num_streams,
+                       int chunk, long buffer_cap, char* errbuf,
+                       int errlen) {
+  auto* s = new Server();
+  s->num_streams = num_streams;
+  s->chunk = chunk;
+  s->buffer_cap = buffer_cap;
+  s->slots.reserve(num_streams);
+  for (int i = 0; i < num_streams; ++i) {
+    s->slots.push_back(std::make_unique<Slot>());
+    s->slots.back()->ring.assign((size_t)buffer_cap, 0.0f);
+  }
+  for (int i = num_streams - 1; i >= 0; --i) s->free_slots.push_back(i);
+
+  s->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  if (s->listen_fd < 0) {
+    set_err(errbuf, errlen, "socket() failed");
+    delete s;
+    return nullptr;
+  }
+  int one = 1;
+  setsockopt(s->listen_fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_port = htons((uint16_t)port);
+  if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    set_err(errbuf, errlen, "bad host address");
+    ::close(s->listen_fd);
+    delete s;
+    return nullptr;
+  }
+  if (bind(s->listen_fd, (sockaddr*)&addr, sizeof(addr)) != 0 ||
+      listen(s->listen_fd, 128) != 0 || !set_nonblock(s->listen_fd)) {
+    set_err(errbuf, errlen, "bind/listen failed");
+    ::close(s->listen_fd);
+    delete s;
+    return nullptr;
+  }
+  socklen_t alen = sizeof(addr);
+  getsockname(s->listen_fd, (sockaddr*)&addr, &alen);
+  s->port = ntohs(addr.sin_port);
+
+  s->epoll_fd = epoll_create1(0);
+  s->wake_fd = eventfd(0, EFD_NONBLOCK);
+  epoll_event ev{};
+  ev.events = EPOLLIN;
+  ev.data.ptr = (void*)&s->listen_fd;
+  epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, s->listen_fd, &ev);
+  epoll_event wev{};
+  wev.events = EPOLLIN;
+  wev.data.ptr = (void*)&s->wake_fd;
+  epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, s->wake_fd, &wev);
+
+  s->io = std::thread(io_loop, s);
+  return s;
+}
+
+int cdt_ingest_port(void* h) { return ((Server*)h)->port; }
+
+int cdt_ingest_granted(void* h, int* slots, unsigned* gens, int cap) {
+  auto* s = (Server*)h;
+  std::lock_guard<std::mutex> lk(s->reg_m);
+  int n = 0;
+  for (auto& [sid, gen] : s->granted) {
+    if (n >= cap) break;
+    slots[n] = sid;
+    gens[n] = gen;
+    // Activate: assemble may now pull this slot's audio (the control
+    // plane scrubs the device lane before the tick that follows).
+    Slot& sl = *s->slots[sid];
+    std::lock_guard<std::mutex> slk(sl.m);
+    if (sl.open && sl.gen == gen) sl.pending = false;
+    ++n;
+  }
+  s->granted.erase(s->granted.begin(), s->granted.begin() + n);
+  return n;
+}
+
+int cdt_ingest_assemble(void* h, float* dst) {
+  auto* s = (Server*)h;
+  int open_slots = 0;
+  size_t cap = (size_t)s->buffer_cap;
+  int chunk = s->chunk;
+  for (int sid = 0; sid < s->num_streams; ++sid) {
+    Slot& sl = *s->slots[sid];
+    float* row = dst + (size_t)sid * chunk;
+    std::lock_guard<std::mutex> lk(sl.m);
+    if (!sl.open || sl.pending) {
+      std::memset(row, 0, sizeof(float) * chunk);
+      if (sl.open) ++open_slots;
+      continue;
+    }
+    ++open_slots;
+    size_t avail = sl.wr - sl.rd;
+    size_t take = avail < (size_t)chunk ? avail : (size_t)chunk;
+    size_t r = sl.rd % cap;
+    size_t first = take < cap - r ? take : cap - r;
+    std::memcpy(row, sl.ring.data() + r, first * sizeof(float));
+    if (take > first) {
+      std::memcpy(row + first, sl.ring.data(),
+                  (take - first) * sizeof(float));
+    }
+    if (take < (size_t)chunk) {
+      std::memset(row + take, 0, sizeof(float) * (chunk - take));
+    }
+    sl.rd += take;
+  }
+  return open_slots;
+}
+
+void cdt_ingest_send_events(void* h, int n, const int* slots,
+                            const unsigned* gens, const double* times,
+                            const float* confs) {
+  auto* s = (Server*)h;
+  bool any = false;
+  {
+    std::lock_guard<std::mutex> lk(s->reg_m);
+    for (int i = 0; i < n; ++i) {
+      int sid = slots[i];
+      if (sid < 0 || sid >= s->num_streams) continue;
+      Slot& sl = *s->slots[sid];
+      Conn* owner;
+      {
+        std::lock_guard<std::mutex> slk(sl.m);
+        if (!sl.open || sl.gen != gens[i]) {
+          s->st_events_dropped += 1;  // released/reused mid-flight
+          continue;
+        }
+        owner = sl.owner;
+      }
+      char body[96];
+      int blen = std::snprintf(body, sizeof(body),
+                               "{\"time\": %.6f, \"confidence\": %.6f}",
+                               times[i], (double)confs[i]);
+      bool dropped;
+      send_frame(s, owner, EVENT, (uint32_t)sid, (const uint8_t*)body,
+                 (uint32_t)blen, &dropped);
+      if (dropped) s->st_events_dropped += 1;
+      else s->st_events += 1;
+      any = true;
+    }
+  }
+  if (any) {
+    uint64_t one_u = 1;
+    ssize_t unused = write(s->wake_fd, &one_u, 8);
+    (void)unused;
+  }
+}
+
+void cdt_ingest_stats(void* h, long long* out, int n) {
+  auto* s = (Server*)h;
+  std::lock_guard<std::mutex> lk(s->reg_m);
+  long long vals[6] = {
+      s->st_connections, s->st_refused, s->st_dropped_samples,
+      s->st_events, s->st_events_dropped,
+      (long long)(s->num_streams - (int)s->free_slots.size()),
+  };
+  for (int i = 0; i < n && i < 6; ++i) out[i] = vals[i];
+}
+
+void cdt_ingest_stop(void* h) {
+  auto* s = (Server*)h;
+  s->stopping = true;
+  uint64_t one_u = 1;
+  ssize_t unused = write(s->wake_fd, &one_u, 8);
+  (void)unused;
+  if (s->io.joinable()) s->io.join();
+  {
+    std::lock_guard<std::mutex> lk(s->reg_m);
+    for (auto& kv : s->conns) {
+      ::close(kv.second->fd);
+      delete kv.second;
+    }
+    s->conns.clear();
+  }
+  ::close(s->listen_fd);
+  ::close(s->epoll_fd);
+  ::close(s->wake_fd);
+  delete s;
+}
+
+}  // extern "C"

@@ -11,10 +11,12 @@ print("jax", jax.__version__, "| flax", flax.__version__, "| optax", optax.__ver
 print("devices:", jax.devices())
 PY
 
-echo "=== Building native loader (optional) ==="
+echo "=== Building native components (optional) ==="
 python - <<'PY'
 from cough_detector_tpu.data import native_loader
 print("native loader:", "OK" if native_loader.available() else "unavailable (pure-python fallback active)")
+from cough_detector_tpu.serve import native_ingest
+print("native serving plane:", "OK" if native_ingest.available() else "unavailable (python socket tier active)")
 PY
 
 echo "=== Audio backends (for live microphone mode) ==="

@@ -266,6 +266,162 @@ class TestIsolationAndRecovery:
                     round(e["time"] / hop_s), abs=1e-6
                 )
 
+    def test_native_backend_event_parity_and_reuse(self, model_and_config):
+        """The C++ socket plane (native/cdt_ingest.cpp) must reproduce
+        the python tier's observable behavior over the identical wire
+        protocol: exact event parity with the in-process detector,
+        capacity refusal, protocol violations severing only the
+        offender, disconnect freeing slots, and reuse isolation (new
+        tenant retimed, padding windows suppressed)."""
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        variables, cfg = model_and_config
+        wave = np.concatenate([
+            synth.synthetic_cough(7, 1.5),
+            np.zeros(8000, np.float32),
+        ])
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        def expected_for_offset(k: int):
+            """In-process reference events for audio that starts k ticks
+            after the slot's first scored tick (timer policy: a tick can
+            legitimately fire between OPENED and the first AUDIO frame;
+            the lane then scores k ticks of silence first — identical
+            lane timeline, shifted grid)."""
+            ref = StreamingDetector(
+                variables=variables, config=cfg, num_streams=1,
+                chunk_size=CHUNK, confidence_threshold=0.0,
+                smoothing_window=3, debounce_seconds=0.5, mesh=False,
+            )
+            shifted = np.concatenate(
+                [np.zeros(k * CHUNK, np.float32), wave]
+            )
+            return ref.process_chunk(shifted)
+
+        expected0 = expected_for_offset(0)
+        assert expected0
+
+        srv = DetectionServer(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            debounce_seconds=0.5, tick_policy="timer", mesh=False,
+            backend="native",
+        )
+        assert srv.backend == "native"
+        with srv:
+            host, port = srv.address
+
+            def feed_and_collect(client, sid):
+                base = srv.stats()["dispatched"]
+                for t in range(n_chunks):
+                    client.send_audio(
+                        sid, wave[t * CHUNK : (t + 1) * CHUNK]
+                    )
+                assert _wait(
+                    lambda: srv.stats()["ticks"] >= base + n_chunks + 4,
+                    timeout=(n_chunks + 10) * 0.1 + 5,
+                )
+                return client.events(timeout=3.0)
+
+            def assert_parity(got, slot):
+                assert got
+                # Derive the audio-start offset (in ticks) from the first
+                # event, then demand EXACT equality with the in-process
+                # engine fed identically-offset audio.
+                for k in range(0, 6):
+                    expected = expected_for_offset(k)
+                    if abs(got[0]["time"] - expected[0].time_seconds) < 1e-6:
+                        break
+                else:
+                    raise AssertionError(
+                        f"first event {got[0]} matches no tick offset"
+                    )
+                assert len(got) == len(expected)
+                for ev, exp in zip(got, expected):
+                    assert ev["stream"] == slot
+                    assert ev["time"] == pytest.approx(
+                        exp.time_seconds, abs=1e-6
+                    )
+                    assert ev["confidence"] == pytest.approx(
+                        exp.confidence, rel=1e-4
+                    )
+
+            # Phase 1 — EXACT parity. The first-ever open joins the
+            # lockstep clock at sample 0 (no tick has run: the timer
+            # skips while no slot is open), so the in-process reference
+            # applies directly; expected_for_offset covers the rare case
+            # of a tick firing between OPENED and the first AUDIO frame.
+            with DetectionClient(host, port) as ca:
+                sa = ca.open_stream()
+                assert_parity(feed_and_collect(ca, sa), sa)
+                sb = ca.open_stream()
+                with pytest.raises(ServerRefused):
+                    ca.open_stream()  # capacity refusal via ERROR frame
+                assert srv.stats()["refused"] == 1
+            # Disconnect frees both slots.
+            assert _wait(lambda: srv.stats()["open_streams"] == 0)
+
+            # Phase 2 — reuse: a recycled slot joins MID-stream (any
+            # 0.1 s tick boundary, not just the 0.25 s hop grid), so
+            # assert the timing contract rather than content parity:
+            # events only after one full window of own audio, debounce
+            # honored, all times on the tick/hop lattice, right slot id.
+            with DetectionClient(host, port) as cb:
+                s2 = cb.open_stream()
+                assert s2 in (sa, sb)
+                got2 = feed_and_collect(cb, s2)
+                assert len(got2) >= 2
+                times = [e["time"] for e in got2]
+                assert all(e["stream"] == s2 for e in got2)
+                assert all(t >= 1.0 - 1e-9 for t in times)  # suppression
+                assert all(
+                    b - a >= 0.5 - 1e-6
+                    for a, b in zip(times, times[1:])
+                )  # debounce
+                for t in times:  # 0.25a - 0.1b lattice → 0.05 grid
+                    assert (t / 0.05) == pytest.approx(
+                        round(t / 0.05), abs=1e-4
+                    )
+
+            # Protocol violation severs only the offender.
+            import socket as socketlib
+
+            from cough_detector_tpu.serve import protocol
+
+            bad = socketlib.create_connection((host, port))
+            bad.sendall(protocol.encode(protocol.AUDIO, 0, b"123"))
+            frame = protocol.read_frame(bad)
+            assert frame is not None and frame.type == protocol.ERROR
+            assert protocol.read_frame(bad) is None
+            bad.close()
+            with DetectionClient(host, port) as cc:
+                assert isinstance(cc.open_stream(), int)
+
+    def test_native_backend_overflow_drops_oldest_and_counts(
+        self, model_and_config
+    ):
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        variables, cfg = model_and_config
+        srv = DetectionServer(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, tick_policy="timer", mesh=False,
+            backend="native", buffer_seconds=0.5,
+        )
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                # 4 s of audio, un-paced, into a 0.5 s ring: the oldest
+                # samples must be dropped and counted.
+                for _ in range(20):
+                    c.send_audio(sid, np.zeros(3200, np.float32))
+                assert _wait(lambda: srv.stats()["dropped_samples"] > 0)
+
     def test_daemon_bench_harness_smoke(self):
         """bench.py --daemon end-to-end on the loopback: clients feed
         real-time PCM, the pipelined tick holds cadence, events arrive."""
