@@ -44,7 +44,7 @@ def _dataset_eval(args) -> None:
     import jax.numpy as jnp
 
     from ..data.datasets import BatchLoader, CoughDataset
-    from ..data.shards import INT16_SCALE, MANIFEST, ShardLoader
+    from ..data.shards import MANIFEST, ShardLoader, dequantize_jnp
     from ..models import create_model
     from ..ops import frontend
     from ..parallel import make_mesh, replicate
@@ -57,7 +57,10 @@ def _dataset_eval(args) -> None:
     model = create_model(config.model.model_type)
     if (Path(args.data_dir) / MANIFEST).exists():
         # Packed shard directory (cdt-pack): decode-free bulk scoring.
-        loader = ShardLoader(args.data_dir, args.batch_size)
+        loader = ShardLoader(
+            args.data_dir, args.batch_size,
+            feature_config=config.features,
+        )
         n_clips = loader.n_clips
     else:
         ds = CoughDataset(args.data_dir)
@@ -90,8 +93,7 @@ def _dataset_eval(args) -> None:
     @jax.jit
     def step(waves, labels, mask):
         def feature_fn(w):
-            if w.dtype == jnp.int16:  # shard batches dequantize on device
-                w = w.astype(jnp.float32) * (1.0 / INT16_SCALE)
+            w = dequantize_jnp(w)  # int16 shard batches → f32 on device
             return frontend.extract_features_fast(
                 frontend.peak_normalize(w), fcfg
             )

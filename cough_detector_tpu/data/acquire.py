@@ -264,11 +264,25 @@ def prepare_coughvid(
         for f in src.glob(f"**/*{ext}"):
             uuid_to_file.setdefault(f.stem, f)
 
+    # Select over rows whose audio actually EXISTS — the reference walks
+    # the audio files and looks rows up by uuid (setup_coughvid.py:155),
+    # so with a partial download its <100-cough fallback and its caps
+    # see only materializable samples; selecting over raw metadata would
+    # mis-trigger (or miss) the fallback and cap against phantom rows.
+    n_rows = len(meta)
+    if "uuid" in meta.columns:
+        meta = meta[meta["uuid"].astype(str).isin(uuid_to_file.keys())]
+    stats_missing = n_rows - len(meta)
+
     coughs, non_coughs = select_coughvid(
         meta, max_coughs, cough_threshold, non_cough_threshold, seed
     )
 
-    stats = {"cough": 0, "non_cough": 0, "failed": 0, "missing": 0}
+    # "missing" now counts metadata rows without an audio file, excluded
+    # BEFORE selection (see above); the per-row lookup below can only
+    # miss if a file vanishes mid-run.
+    stats = {"cough": 0, "non_cough": 0, "failed": 0,
+             "missing": stats_missing}
 
     def convert(rows, dest, key):
         for _, row in rows.iterrows():

@@ -58,6 +58,18 @@ def dequantize(waves: np.ndarray) -> np.ndarray:
     return waves.astype(np.float32) * (1.0 / INT16_SCALE)
 
 
+def dequantize_jnp(waves):
+    """Device-side dequantization for jitted feature paths: int16 shard
+    batches become f32 waveforms; anything already float passes through.
+    The single owner of the scale contract — train and evaluate both
+    call this rather than re-spelling the constant."""
+    import jax.numpy as jnp
+
+    if waves.dtype == jnp.int16:
+        return waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
+    return waves
+
+
 def write_shards(
     dataset,
     out_dir: str,
@@ -118,6 +130,7 @@ class ShardLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 4,
+        feature_config: "FeatureConfig" = None,
     ):
         self.shard_dir = Path(shard_dir)
         manifest_path = self.shard_dir / MANIFEST
@@ -133,6 +146,24 @@ class ShardLoader:
                 f"{self.manifest.get('version')!r} != {FORMAT_VERSION}"
             )
         self.segment_samples = int(self.manifest["segment_samples"])
+        if feature_config is not None:
+            # Geometry mismatches must be LOUD: a 22.05 kHz corpus fed to
+            # a 16 kHz front end computes every feature on the wrong time
+            # base with no numeric error anywhere downstream.
+            want = (
+                int(feature_config.sample_rate),
+                int(feature_config.segment_samples),
+            )
+            got = (
+                int(self.manifest["sample_rate"]),
+                self.segment_samples,
+            )
+            if want != got:
+                raise ValueError(
+                    f"shard corpus geometry (sample_rate, segment)={got} "
+                    f"does not match the run's feature config {want} — "
+                    f"re-pack with cdt-pack under the right config"
+                )
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.weighted = weighted

@@ -109,9 +109,20 @@ class NativeIngest:
         if lib is None:
             raise RuntimeError("native ingest unavailable (no toolchain?)")
         self._lib = lib
+        # The C plane binds with inet_pton (numeric IPv4 only): resolve
+        # names like "localhost" here so every --host the python tier
+        # accepts works identically under backend=native.
+        import socket as socketlib
+
+        try:
+            host_ip = socketlib.getaddrinfo(
+                host, None, socketlib.AF_INET
+            )[0][4][0]
+        except socketlib.gaierror as err:
+            raise OSError(f"cannot resolve host {host!r}: {err}") from err
         errbuf = ctypes.create_string_buffer(256)
         self._h = lib.cdt_ingest_start(
-            host.encode(), port, num_streams, chunk, buffer_cap,
+            host_ip.encode(), port, num_streams, chunk, buffer_cap,
             errbuf, len(errbuf),
         )
         if not self._h:

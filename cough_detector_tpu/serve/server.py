@@ -234,6 +234,7 @@ class DetectionServer:
         self._stats = {
             "ticks": 0, "events": 0, "events_dropped": 0,
             "dropped_samples": 0, "connections": 0, "refused": 0,
+            "tick_errors": 0,
         }
         self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
         self._lag_times: deque = deque(maxlen=1024)  # dispatch → delivered
@@ -269,11 +270,16 @@ class DetectionServer:
             # slot id → (generation, open_sample): the control-plane view
             # the router needs for retiming + reuse-safe event delivery.
             self._slot_meta: Dict[int, tuple] = {}
-            # Double-buffered assembly target: tick N+1 must not mutate
-            # the host array whose H2D transfer tick N may still read.
+            # Rotating assembly buffers: a tick's device_put may still be
+            # reading its host array while later ticks dispatch, and up
+            # to (inflight capacity + one per fetch worker + the one
+            # being dispatched) ticks can be in flight at once — size
+            # the pool to that bound so assemble() never overwrites a
+            # buffer an in-flight tick still reads.
+            n_bufs = 2 * self._delivery_workers + self._delivery_workers + 2
             self._assemble_bufs = [
                 np.zeros((num_streams, chunk_size), np.float32)
-                for _ in range(2)
+                for _ in range(n_bufs)
             ]
         else:
             self._ingest = None
@@ -525,7 +531,7 @@ class DetectionServer:
             start_sample = self._dispatched * self.chunk_size
             for sid, gen in granted:
                 self._slot_meta[sid] = (gen, start_sample)
-        buf = self._assemble_bufs[self._dispatched % 2]
+        buf = self._assemble_bufs[self._dispatched % len(self._assemble_bufs)]
         self._ingest.assemble(buf)
         t0 = time.perf_counter()
         events = self._detector.tick_async(buf)
@@ -585,13 +591,21 @@ class DetectionServer:
 
     def _fetch_loop(self) -> None:
         """Pull one tick's events off the device (blocking round trip) —
-        several of these run concurrently so round trips overlap."""
+        several of these run concurrently so round trips overlap. A
+        failed fetch must still POST its serial (with no detections):
+        the in-order router would otherwise wait on that serial forever
+        and delivery would wedge for every client."""
         while not self._stop.is_set():
             try:
                 serial, live, events, t0 = self._inflight.get(timeout=0.2)
             except queue.Empty:
                 continue
-            detections = self._detector.collect_events(events)
+            try:
+                detections = self._detector.collect_events(events)
+            except Exception as err:  # transient device/transfer failure
+                detections = []
+                self._bump("tick_errors")
+                print(f"serve: tick {serial} event fetch failed: {err!r}")
             with self._fetched_cond:
                 self._fetched[serial] = (live, detections, t0)
                 self._fetched_cond.notify_all()
@@ -610,7 +624,11 @@ class DetectionServer:
                 if self._stop.is_set():
                     return
                 live, detections, t_dispatch = self._fetched.pop(next_serial)
-            self._deliver(live, detections)
+            try:
+                self._deliver(live, detections)
+            except Exception as err:  # never wedge in-order delivery
+                self._bump("tick_errors")
+                print(f"serve: tick {next_serial} delivery failed: {err!r}")
             with self._stats_lock:
                 self._lag_times.append(time.perf_counter() - t_dispatch)
                 self._stats["ticks"] += 1

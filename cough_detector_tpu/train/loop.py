@@ -33,7 +33,7 @@ from ..data.datasets import (
     ESC50Dataset,
     prepare_dataset_split,
 )
-from ..data.shards import INT16_SCALE, ShardLoader
+from ..data.shards import ShardLoader, dequantize_jnp
 from ..models import count_parameters, create_model, init_model
 from ..ops import frontend
 from ..parallel import batch_sharding, make_mesh, replicate
@@ -174,9 +174,11 @@ def train(
         train_loader = ShardLoader(
             str(Path(shards_dir) / "train"), tcfg.batch_size,
             weighted=True, drop_last=True, seed=tcfg.seed,
+            feature_config=fcfg,
         )
         val_loader = ShardLoader(
             str(Path(shards_dir) / "val"), tcfg.batch_size,
+            feature_config=fcfg,
         )
         class_counts = train_loader.class_counts
         print(
@@ -223,8 +225,7 @@ def train(
     # reference: src/dataset.py:150-163).
     def train_features(args):
         waves, key = args
-        if waves.dtype == jnp.int16:  # shard batches dequantize on device
-            waves = waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
+        waves = dequantize_jnp(waves)  # int16 shard batches → f32
         k1, k2 = jax.random.split(key)
         waves = augment_waveforms(
             waves, k1, p=tcfg.p_augment,
@@ -247,8 +248,7 @@ def train(
         )
 
     def eval_features(waves):
-        if waves.dtype == jnp.int16:
-            waves = waves.astype(jnp.float32) * (1.0 / INT16_SCALE)
+        waves = dequantize_jnp(waves)
         return frontend.extract_features_fast(frontend.peak_normalize(waves), fcfg)
 
     # Device-resident corpus + one-program epochs (shard mode, fits HBM).

@@ -82,6 +82,7 @@ struct Conn {
   std::mutex out_m;
   std::vector<int> slots;    // owned slot ids
   bool dead = false;         // marked for reaping (io loop collects)
+  bool reaped = false;       // already on this batch's reap list
   bool closed = false;       // cleanup done (close_conn ran)
   bool want_write = false;
 };
@@ -415,16 +416,31 @@ void io_loop(Server* s) {
         }
         for (Conn* c : cs) {
           flush_conn(s, c);
-          if (c->dead) reap.push_back(c);
-          else rearm(s, c);
+          if (c->dead) {
+            // Dedup: one epoll batch can surface the same connection
+            // from both the wake branch and a socket event; a second
+            // close_conn on a freed pointer is use-after-free.
+            if (!c->reaped) {
+              c->reaped = true;
+              reap.push_back(c);
+            }
+          } else {
+            rearm(s, c);
+          }
         }
       } else {
         Conn* c = (Conn*)ptr;
         if (evs[i].events & (EPOLLHUP | EPOLLERR)) c->dead = true;
         if (!c->dead && (evs[i].events & EPOLLIN)) drain_input(s, c);
         if (!c->dead && (evs[i].events & EPOLLOUT)) flush_conn(s, c);
-        if (c->dead) reap.push_back(c);
-        else rearm(s, c);
+        if (c->dead) {
+          if (!c->reaped) {
+            c->reaped = true;
+            reap.push_back(c);
+          }
+        } else {
+          rearm(s, c);
+        }
       }
     }
     for (Conn* c : reap) close_conn(s, c);

@@ -518,6 +518,46 @@ class TestIngestNegativeSelections:
         coughs3, _ = select_coughvid(meta2, max_coughs=120)
         assert list(coughs3["uuid"]) == list(coughs2["uuid"])[:120]
 
+    def test_coughvid_ingest_selects_over_present_files_only(
+        self, tmp_path
+    ):
+        """prepare_coughvid must classify/cap/fallback over rows whose
+        audio EXISTS — the reference walks the audio files and looks
+        metadata up by uuid (setup_coughvid.py:155), so with a partial
+        download the <100-cough fallback fires on materializable
+        samples, not phantom metadata rows."""
+        import pandas as pd
+
+        from cough_detector_tpu.data import acquire
+
+        src = tmp_path / "cv"
+        src.mkdir()
+        rows = (
+            [{"uuid": f"c{i}", "cough_detected": 0.9, "status": "covid"}
+             for i in range(120)]
+            + [{"uuid": f"n{i}", "cough_detected": 0.1, "status": "covid"}
+               for i in range(30)]
+        )
+        pd.DataFrame(rows).to_csv(
+            src / "metadata_compiled.csv", index=False
+        )
+        # Only 40 of the 120 cough rows (and all 30 non-coughs) exist.
+        for i in range(40):
+            audio_io.write_wav(
+                src / f"c{i}.wav", synth.synthetic_cough(i, 1.0), 16000
+            )
+        for i in range(30):
+            audio_io.write_wav(
+                src / f"n{i}.wav", synth.synthetic_non_cough(i, 0.5), 16000
+            )
+        stats = acquire.prepare_coughvid(str(src), str(tmp_path / "out"))
+        # 70 present rows; 40 high-confidence coughs < 100 → fallback
+        # 80/20 over the 70 PRESENT rows: 56 coughs / 14 non-coughs.
+        assert stats["missing"] == 80
+        assert stats["cough"] == 56
+        assert stats["non_cough"] == 14
+        assert stats["failed"] == 0
+
     def test_synthetic_negative_menu_covers_reference_kinds(self):
         """prepare_data's pink-noise and ambient multi-sine negatives
         (reference: prepare_data.py:138-162) must be reachable kinds."""

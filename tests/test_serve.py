@@ -422,6 +422,37 @@ class TestIsolationAndRecovery:
                     c.send_audio(sid, np.zeros(3200, np.float32))
                 assert _wait(lambda: srv.stats()["dropped_samples"] > 0)
 
+    def test_fetch_failure_does_not_wedge_delivery(self, model_and_config):
+        """A transient event-fetch failure must not kill the in-order
+        delivery pipeline: the failed tick posts empty detections, is
+        counted, and every later tick still reaches clients."""
+        wave = synth.synthetic_cough(5, 1.5)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        srv = _make_server(model_and_config, num_streams=1)
+        with srv:
+            # Patch AFTER start(): the warmup itself calls collect_events.
+            orig = srv._detector.collect_events
+            state = {"calls": 0}
+
+            def flaky(events):
+                state["calls"] += 1
+                if state["calls"] == 1:
+                    raise RuntimeError("synthetic transfer failure")
+                return orig(events)
+
+            srv._detector.collect_events = flaky
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                got = c.events(timeout=5.0)
+            stats = srv.stats()
+        assert stats["tick_errors"] == 1
+        assert got, "later ticks must still deliver"
+
     def test_daemon_bench_harness_smoke(self):
         """bench.py --daemon end-to-end on the loopback: clients feed
         real-time PCM, the pipelined tick holds cadence, events arrive."""

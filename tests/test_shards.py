@@ -81,6 +81,17 @@ class TestPackRoundTrip:
         with pytest.raises(FileNotFoundError, match="cdt-pack"):
             ShardLoader(str(tmp_path / "nowhere"), 8)
 
+    def test_geometry_mismatch_is_loud(self, packed):
+        """A corpus packed under a different sample rate / segment length
+        must refuse to load when the consumer's feature config disagrees
+        — silently computing features on the wrong time base is the
+        worst possible failure (no numeric error anywhere)."""
+        _, shard_dir, _ = packed
+        ShardLoader(shard_dir, 8, feature_config=FCFG)  # matching: OK
+        bad = FeatureConfig(sample_rate=22050)
+        with pytest.raises(ValueError, match="geometry"):
+            ShardLoader(shard_dir, 8, feature_config=bad)
+
 
 class TestDeterminismContract:
     def test_weighted_order_identical_to_batchloader(self, packed):
