@@ -83,16 +83,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x, sh: NamedSharding):
+    """device_put that is valid on both single- and multi-process meshes.
+
+    Across processes, device_put only accepts HOST values for a sharding
+    spanning non-addressable devices (every process supplies the identical
+    full array and jax assembles the global Array); a leaf that is already
+    a process-local jax.Array must be materialized to host first. Typed
+    PRNG keys carry an extended dtype numpy can't hold, so they round-trip
+    through key_data / wrap_key_data (placement-preserving, probed in a
+    real 2-process cluster by tests/test_distributed.py).
+    """
+    if jax.process_count() > 1 and isinstance(x, jax.Array):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = jax.device_put(np.asarray(jax.random.key_data(x)), sh)
+            return jax.random.wrap_key_data(data, impl=impl)
+        x = np.asarray(x)
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch with its leading axis split across the mesh."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: global_put(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh):
     """Device-put a pytree fully replicated across the mesh."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: global_put(x, sh), tree)
 
 
 def stream_sharding(mesh: Mesh, axis: Optional[str] = None) -> NamedSharding:

@@ -40,8 +40,17 @@ def save_checkpoint(
     metrics: Dict[str, float],
     config: Config,
     extra: Optional[Dict[str, Any]] = None,
+    write_meta: bool = True,
 ) -> str:
-    """Write one named checkpoint (e.g. "best_model", "latest_model")."""
+    """Write one named checkpoint (e.g. "best_model", "latest_model").
+
+    Multi-host: EVERY process must call this at the same program point
+    with the same global state — Orbax coordinates the primary-host
+    write and runs an internal cross-process barrier, so a rank-gated
+    call would leave the ranks' collective streams misaligned (observed
+    as a gloo size-mismatch abort in the 2-process cluster test). Rank 0
+    alone writes meta.json (`write_meta`).
+    """
     base = Path(directory) / name
     base.mkdir(parents=True, exist_ok=True)
 
@@ -54,6 +63,8 @@ def save_checkpoint(
     ckptr = _checkpointer()
     ckptr.save((base / "state").absolute(), tree, force=True)
     ckptr.wait_until_finished()  # StandardCheckpointer commits asynchronously
+    if not write_meta:
+        return str(base)
 
     meta = {
         "epoch": int(epoch),

@@ -158,9 +158,18 @@ def train(
     streamed path."""
     config = config or Config()
     fcfg, tcfg = config.features, config.train
+    # Multi-host (jax.distributed initialized, e.g. cdt-train
+    # --distributed): every process runs the identical loop — the
+    # deterministic loaders produce the SAME global batch everywhere
+    # (epoch order is a pure function of (seed, epoch)), jax.device_put
+    # lays it out over the global mesh, and XLA's psum crosses hosts.
+    # Only rank 0 touches the filesystem (metrics, checkpoints).
+    n_procs = jax.process_count()
+    is_main = jax.process_index() == 0
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    (out / "config.json").write_text(config.to_json())
+    if is_main:
+        (out / "config.json").write_text(config.to_json())
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
@@ -344,9 +353,22 @@ def train(
             put_mats = lambda mats: tuple(jnp.asarray(m) for m in mats)
         # Validation order is fixed (sequential): one matrix for the run.
         val_mats = put_mats(val_loader.epoch_batches(0))
-    metrics_log = (out / "metrics.jsonl").open("a")
+    metrics_log = (out / "metrics.jsonl").open("a") if is_main else None
     epochs = max_epochs if max_epochs is not None else tcfg.epochs
     best_path = str(out / "best_model")
+
+    def save(name, metrics_dict, extra=None):
+        """Checkpoint write. Multi-process: EVERY rank calls into Orbax at
+        the same program point (its save runs an internal cross-process
+        barrier — a rank-0-only call desynchronizes the ranks' collective
+        streams and gloo aborts); Orbax elects the primary writer. The
+        save sites below are rank-symmetric because the metrics driving
+        them are device-computed and replicated. Rank 0 alone writes
+        meta.json."""
+        ckpt.save_checkpoint(
+            output_dir, name, state, epoch, metrics_dict, config,
+            extra=extra, write_meta=is_main,
+        )
 
     for epoch in range(start_epoch, epochs):
         # ---- train ----
@@ -427,15 +449,17 @@ def train(
             "train_clips_per_sec": acc.count / max(train_time, 1e-9),
             "val_clips_per_sec": vacc.count / max(val_time, 1e-9),
         }
-        metrics_log.write(json.dumps(record) + "\n")
-        metrics_log.flush()
-        print(
-            f"Epoch {epoch}: train loss {train_m['loss']:.4f} "
-            f"acc {train_m['accuracy']:.2f}% | val loss {val_m['loss']:.4f} "
-            f"acc {val_m['accuracy']:.2f}% P {val_m['precision']:.4f} "
-            f"R {val_m['recall']:.4f} F1 {val_m['f1']:.4f} | "
-            f"{record['train_clips_per_sec']:,.0f} clips/s"
-        )
+        if metrics_log is not None:
+            metrics_log.write(json.dumps(record) + "\n")
+            metrics_log.flush()
+        if is_main:
+            print(
+                f"Epoch {epoch}: train loss {train_m['loss']:.4f} "
+                f"acc {train_m['accuracy']:.2f}% | val loss {val_m['loss']:.4f} "
+                f"acc {val_m['accuracy']:.2f}% P {val_m['precision']:.4f} "
+                f"R {val_m['recall']:.4f} F1 {val_m['f1']:.4f} | "
+                f"{record['train_clips_per_sec']:,.0f} clips/s"
+            )
 
         # Advance the early-stop state BEFORE writing latest_model so the
         # checkpointed counters already account for this epoch's val loss —
@@ -444,11 +468,11 @@ def train(
 
         if val_m["f1"] > best_f1:
             best_f1 = val_m["f1"]
-            ckpt.save_checkpoint(output_dir, "best_model", state, epoch,
-                                 val_m, config)
-            print(f"  Saved best model (F1: {best_f1:.4f})")
-        ckpt.save_checkpoint(
-            output_dir, "latest_model", state, epoch, val_m, config,
+            save("best_model", val_m)
+            if is_main:
+                print(f"  Saved best model (F1: {best_f1:.4f})")
+        save(
+            "latest_model", val_m,
             extra={
                 "early_stop": {
                     "best_loss": early.best_loss,
@@ -458,9 +482,12 @@ def train(
         )
 
         if stop:
-            print(f"Early stopping at epoch {epoch}")
+            if is_main:
+                print(f"Early stopping at epoch {epoch}")
             break
 
-    metrics_log.close()
-    print(f"Training complete! Best F1: {best_f1:.4f}")
+    if metrics_log is not None:
+        metrics_log.close()
+    if is_main:
+        print(f"Training complete! Best F1: {best_f1:.4f}")
     return best_path

@@ -1,0 +1,32 @@
+"""Child process of the 2-process END-TO-END train() cluster test.
+
+Unlike dist_child.py (which drives the bare train step), this runs the
+production `train()` orchestration itself across the cluster: dataset
+split, deterministic loaders, DP over the spanning mesh, metrics,
+checkpoints (rank 0 only). argv: data_dir out_dir.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from cough_detector_tpu.parallel import maybe_initialize_distributed
+
+assert maybe_initialize_distributed() is True
+assert jax.process_count() == 2
+
+from cough_detector_tpu.config import Config, ModelConfig, TrainConfig
+from cough_detector_tpu.train import train
+
+data_dir, out_dir = sys.argv[1], sys.argv[2]
+cfg = Config(
+    model=ModelConfig(model_type="small"),
+    train=TrainConfig(batch_size=8, epochs=2, patience=50),
+)
+train(data_dir, out_dir, config=cfg, num_workers=2, use_esc50=False)
+print(f"TRAIN_DONE rank={jax.process_index()}", flush=True)

@@ -95,3 +95,85 @@ class TestRealTwoProcessCluster:
         # differs (gloo ring vs in-process), so allow reduction-order
         # float noise and nothing more.
         np.testing.assert_allclose(child_losses[0], want, rtol=1e-5)
+
+    def test_full_train_loop_across_processes(self, tmp_path):
+        """The production train() itself — dataset split, deterministic
+        loaders, DP batches, checkpoints — runs across a REAL 2-process
+        cluster and reproduces the single-process 8-device metrics. The
+        loaders are pure functions of (seed, epoch), so every process
+        builds the identical global batch; rank 0 alone writes metrics
+        and checkpoints."""
+        import json
+
+        from cough_detector_tpu.config import (
+            Config, ModelConfig, TrainConfig,
+        )
+        from cough_detector_tpu.data import synth
+        from cough_detector_tpu.data.audio_io import write_wav
+        from cough_detector_tpu.train import train
+
+        data = tmp_path / "data"
+        for label, gen, n in [
+            ("cough", synth.synthetic_cough, 12),
+            ("non_cough", synth.synthetic_non_cough, 12),
+        ]:
+            d = data / label
+            d.mkdir(parents=True)
+            for i in range(n):
+                write_wav(d / f"{label}_{i:02d}.wav",
+                          gen(seed=300 + i, duration_s=1.2), 16000)
+
+        # Single-process 8-device reference run (this pytest process).
+        cfg = Config(
+            model=ModelConfig(model_type="small"),
+            train=TrainConfig(batch_size=8, epochs=2, patience=50),
+        )
+        out_single = tmp_path / "single"
+        train(str(data), str(out_single), config=cfg, num_workers=2)
+
+        # 2-process cluster run of the SAME training.
+        out_dist = tmp_path / "dist"
+        port = _free_port()
+        procs = []
+        child = os.path.join(_REPO, "tests", "dist_child_train.py")
+        for pid in (0, 1):
+            env = dict(os.environ)
+            env.update({
+                "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(pid),
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            })
+            procs.append(subprocess.Popen(
+                [sys.executable, child, str(data), str(out_dist)],
+                env=env, cwd=_REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            ))
+        for p in procs:
+            try:
+                outp, err = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("train cluster child timed out")
+            assert p.returncode == 0, f"child failed:\n{outp}\n{err}"
+            assert "TRAIN_DONE" in outp
+
+        # Rank 0 alone wrote metrics + checkpoints.
+        recs_s = [json.loads(l) for l in
+                  (out_single / "metrics.jsonl").read_text().splitlines()]
+        recs_d = [json.loads(l) for l in
+                  (out_dist / "metrics.jsonl").read_text().splitlines()]
+        assert (out_dist / "latest_model" / "meta.json").exists()
+        assert len(recs_s) == len(recs_d) == 2
+        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        for rs, rd in zip(recs_s, recs_d):
+            for k, vs in rs.items():
+                if k in skip:
+                    continue
+                # Identical batches and programs over the same 8-way
+                # mesh; only gloo-vs-local reduction order differs.
+                np.testing.assert_allclose(
+                    rd[k], vs, rtol=1e-4, atol=1e-6,
+                    err_msg=f"epoch {rs['epoch']} field {k}",
+                )
