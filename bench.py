@@ -183,12 +183,36 @@ def _daemon_client_main(argv) -> None:
     client.close()
 
 
+def _ensure_loadgen():
+    """Build native/cdt_loadgen (standalone binary) if missing or stale.
+    Returns the binary path, or None if the toolchain isn't available."""
+    import os
+    import shutil
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native", "cdt_loadgen.cpp")
+    out = os.path.join(here, "native", "cdt_loadgen")
+    if (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)):
+        return out
+    if shutil.which("g++") is None:
+        return None
+    subprocess.run(
+        ["g++", "-O2", "-pthread", "-std=c++17", "-o", out, src],
+        check=True,
+    )
+    return out
+
+
 def daemon_bench(
     num_streams: int = 256,
     n_clients: int = 8,
     seconds: float = 30.0,
     chunk: int = 1600,
     backend: str = "python",
+    loadgen: str = "python",
+    h2d_dtype: str = "float32",
 ) -> dict:
     """Benchmark the SOCKET serving tier end-to-end (serve/server.py) —
     not the in-process engine: M loopback DetectionClient PROCESSES feed
@@ -200,9 +224,18 @@ def daemon_bench(
     delivered/dropped event and sample counts. The daemon is \"real-time
     at N\" iff cadence holds (≳99 % of expected ticks) with no sample
     drops.
+
+    loadgen="native" swaps the Python client children for the compiled
+    native/cdt_loadgen binary (same READY/GO/EVENTS contract, same wire
+    bytes, same clip cycle): on this single-core host the Python
+    generators themselves fall behind real time past ~1,024 total
+    streams (their row is voided by max_client_late), so measuring the
+    server's true ceiling requires the per-frame encode cost off the
+    interpreter.
     """
     import os
     import subprocess
+    import tempfile
 
     import jax
 
@@ -219,11 +252,38 @@ def daemon_bench(
         variables=variables, config=cfg, num_streams=num_streams,
         chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
         debounce_seconds=0.5, tick_policy="timer", backend=backend,
+        h2d_dtype=h2d_dtype,
     )
     tick_s = chunk / cfg.features.sample_rate
     n_frames = int(round(seconds / tick_s))
     repo = os.path.dirname(os.path.abspath(__file__))
     boot = _CLIENT_BOOT.format(repo=repo)
+
+    clip_path = None
+    if loadgen == "native":
+        from cough_detector_tpu.data import synth
+
+        binary = _ensure_loadgen()
+        if binary is None:
+            raise RuntimeError("native loadgen needs g++ (not in PATH)")
+        # The exact clip+cycle the Python generator feeds, as raw f32le.
+        clip = np.resize(
+            synth.synthetic_cough(3, 2.0), chunk * (n_frames + 1)
+        ).astype(np.float32)
+        fd_, clip_path = tempfile.mkstemp(suffix=".f32")
+        with os.fdopen(fd_, "wb") as fh:
+            fh.write(clip.tobytes())
+
+    def spawn(m: int) -> "subprocess.Popen":
+        if loadgen == "native":
+            cmd = [binary, host, str(port), str(m), str(n_frames),
+                   str(int(round(tick_s * 1e6))), str(chunk), clip_path]
+        else:
+            cmd = [sys.executable, "-c", boot, host, str(port), str(m),
+                   str(n_frames), repr(tick_s), str(chunk)]
+        return subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        )
 
     with server:
         host, port = server.address
@@ -232,13 +292,7 @@ def daemon_bench(
             + (1 if i < num_streams % n_clients else 0)
             for i in range(n_clients)
         ]
-        procs = []
-        for m in per_client:
-            procs.append(subprocess.Popen(
-                [sys.executable, "-c", boot, host, str(port), str(m),
-                 str(n_frames), repr(tick_s), str(chunk)],
-                stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
-            ))
+        procs = [spawn(m) for m in per_client]
         for p in procs:
             line = p.stdout.readline()
             if line.strip() != "READY":
@@ -274,12 +328,19 @@ def daemon_bench(
                     if len(parts) >= 4:
                         max_late = max(max_late, float(parts[3]))
         stats = server.stats()
+    if clip_path is not None:
+        try:
+            os.unlink(clip_path)
+        except OSError:
+            pass
     timed_ticks = d1 - d0
     expected_ticks = elapsed / tick_s
     cadence = timed_ticks / max(expected_ticks, 1e-9)
     record = {
         "metric": "serving_daemon_socket_tier",
         "backend": server.backend,
+        "loadgen": loadgen,
+        "h2d_dtype": h2d_dtype,
         "num_streams": num_streams,
         "n_clients": n_clients,
         "seconds": round(elapsed, 1),
@@ -385,13 +446,20 @@ if __name__ == "__main__":
     backend = "python"
     if "--backend" in sys.argv:
         backend = sys.argv[sys.argv.index("--backend") + 1]
+    loadgen = "python"
+    if "--loadgen" in sys.argv:
+        loadgen = sys.argv[sys.argv.index("--loadgen") + 1]
+    h2d = "float32"
+    if "--h2d" in sys.argv:
+        h2d = sys.argv[sys.argv.index("--h2d") + 1]
     if "--daemon-ramp" in sys.argv:
         # Host-side ceiling of the socket tier: ramp stream counts until
         # the timer loop misses cadence or slots overflow. Every row is a
         # real multi-client run at that count.
         for s in (512, 1024, 2048, 4096, 8192):
             rec = daemon_bench(num_streams=s, seconds=20.0,
-                               backend=backend)
+                               backend=backend, loadgen=loadgen,
+                               h2d_dtype=h2d)
             if not rec["realtime_at_this_count"]:
                 break
     elif "--daemon" in sys.argv:
@@ -405,7 +473,7 @@ if __name__ == "__main__":
         if "--seconds" in sys.argv:
             secs = float(sys.argv[sys.argv.index("--seconds") + 1])
         daemon_bench(num_streams=n, n_clients=m, seconds=secs,
-                     backend=backend)
+                     backend=backend, loadgen=loadgen, h2d_dtype=h2d)
     elif "--serving-sweep" in sys.argv:
         # Measured capacity curve (VERDICT r1 §next-6): every point is a
         # real run at that stream count, not arithmetic from a smaller one.

@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(no Python in the per-frame path; ~4x the "
                         "stream ceiling), python = portable fallback, "
                         "auto = native when the toolchain built it")
+    p.add_argument("--h2d-dtype", choices=["float32", "int16"],
+                   default="float32",
+                   help="Per-tick host→device batch format: int16 = "
+                        "16-bit PCM (quantize on assemble, dequantize "
+                        "in-jit) — half the upload bytes per tick; "
+                        "doubles the ceiling on a bandwidth-bound "
+                        "host↔device link")
     p.add_argument("--stats-interval", type=float, default=10.0)
     p.add_argument("--max-seconds", type=float, default=None,
                    help="Exit after this long (smoke tests / supervisors)")
@@ -68,6 +75,7 @@ def main(argv=None) -> None:
         buffer_seconds=args.buffer_seconds,
         precision_mode=args.precision_mode,
         backend=args.backend,
+        h2d_dtype=args.h2d_dtype,
     )
     host, port = server.address[0], server.address[1]
     with server:

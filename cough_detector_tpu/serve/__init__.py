@@ -8,6 +8,8 @@ protocol. CLI: `python -m cough_detector_tpu.cli.serve` / `cdt-serve`.
 """
 
 from .client import DetectionClient, ServerRefused
-from .server import DetectionServer
+from .server import DetectionServer, quantize_i16
 
-__all__ = ["DetectionClient", "DetectionServer", "ServerRefused"]
+__all__ = [
+    "DetectionClient", "DetectionServer", "ServerRefused", "quantize_i16",
+]

@@ -72,6 +72,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdt_ingest_assemble.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.cdt_ingest_assemble_i16.restype = ctypes.c_int
+        lib.cdt_ingest_assemble_i16.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
+        ]
         lib.cdt_ingest_send_events.restype = None
         lib.cdt_ingest_send_events.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -159,13 +163,21 @@ class NativeIngest:
         ]
 
     def assemble(self, dst: np.ndarray) -> int:
-        """Fill dst (num_streams, chunk) f32 with one tick of audio
-        (zero-filled underruns); returns the open-slot count."""
+        """Fill dst (num_streams, chunk) with one tick of audio
+        (zero-filled underruns); returns the open-slot count. dst may be
+        f32 (exact samples) or int16 (quantize-on-assemble in C++ — the
+        half-bandwidth H2D format; convention matches serve.quantize_i16
+        and the in-jit dequant in stream/ring.py)."""
         assert dst.shape == (self.num_streams, self.chunk)
-        assert dst.dtype == np.float32 and dst.flags.c_contiguous
+        assert dst.dtype in (np.float32, np.int16) and dst.flags.c_contiguous
         if self._h is None:
-            dst[:] = 0.0
+            dst[:] = 0
             return 0
+        if dst.dtype == np.int16:
+            return int(self._lib.cdt_ingest_assemble_i16(
+                self._h,
+                dst.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            ))
         return int(self._lib.cdt_ingest_assemble(
             self._h,
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

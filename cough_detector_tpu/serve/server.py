@@ -69,6 +69,19 @@ class _ProtocolViolation(ConnectionError):
     """Client broke the wire contract; reply ERROR and drop it."""
 
 
+def quantize_i16(x: np.ndarray) -> np.ndarray:
+    """f32 audio → int16 PCM: i = clip(round(x*32768), -32768, 32767),
+    rounding half away from zero — bit-exact twin of the C++
+    quantize-on-assemble row converter (native/cdt_ingest.cpp cvt_row)
+    and inverse of the in-jit dequant in stream/ring.py (x = i/32768).
+    This is the half-bandwidth H2D tick format: at 1,024 streams the f32
+    tick uploads ~65 MB/s, which saturates a ~60 MB/s host↔device link;
+    16-bit PCM is also what capture hardware emits, so quantizing here
+    reproduces the mic-faithful signal, not an approximation of it."""
+    v = np.clip(x * 32768.0, -32768.0, 32767.0)
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int16)
+
+
 class _Slot:
     __slots__ = ("owner", "buffer", "buffered", "lock", "open_sample")
 
@@ -183,6 +196,7 @@ class DetectionServer:
         precision_mode: str = "high",
         delivery_workers: int = 4,
         backend: str = "auto",
+        h2d_dtype: str = "float32",
     ):
         """`backend`: "python" (portable socket tier, this module),
         "native" (C++ epoll data plane, native/cdt_ingest.cpp — no
@@ -190,7 +204,16 @@ class DetectionServer:
         "auto" (native when the toolchain built it, else python). Both
         speak the identical wire protocol; the native plane is
         timer-policy only (eager ticking needs per-slot buffer
-        introspection the C ABI doesn't expose)."""
+        introspection the C ABI doesn't expose).
+
+        `h2d_dtype`: dtype of the per-tick host→device batch. "float32"
+        (default, exact) or "int16" (16-bit PCM: quantize on assemble —
+        in C++ for the native plane — dequantize inside the jit tick;
+        see quantize_i16). int16 halves the tick's upload bytes, which
+        doubles the stream ceiling when the host↔device link is
+        bandwidth-bound (dev tunnel: ~60 MB/s vs the 65 MB/s a 1,024
+        stream f32 tick needs). Logits move by O(1e-5) — within the
+        1e-3 parity budget, re-measured on chip (docs/PARITY.md)."""
         if tick_policy not in ("timer", "eager"):
             raise ValueError(f"unknown tick_policy {tick_policy!r}")
         if backend == "auto":
@@ -205,6 +228,10 @@ class DetectionServer:
             raise ValueError(f"unknown backend {backend!r}")
         if backend == "native" and tick_policy != "timer":
             raise ValueError("native backend supports tick_policy='timer'")
+        if h2d_dtype not in ("float32", "int16"):
+            raise ValueError(f"unknown h2d_dtype {h2d_dtype!r}")
+        self.h2d_dtype = h2d_dtype
+        self._h2d = np.float32 if h2d_dtype == "float32" else np.int16
         self.backend = backend
         self._detector = StreamingDetector(
             model_path,
@@ -278,7 +305,7 @@ class DetectionServer:
             # buffer an in-flight tick still reads.
             n_bufs = 2 * self._delivery_workers + self._delivery_workers + 2
             self._assemble_bufs = [
-                np.zeros((num_streams, chunk_size), np.float32)
+                np.zeros((num_streams, chunk_size), self._h2d)
                 for _ in range(n_bufs)
             ]
         else:
@@ -291,10 +318,12 @@ class DetectionServer:
     def start(self) -> None:
         # Compile the tick program BEFORE accepting clients (first jit of
         # the full tick takes minutes on a cold TPU; a serving daemon must
-        # not spend its first client's real-time budget compiling).
-        self._detector.process_chunk(
-            np.zeros((self.num_streams, self.chunk_size), np.float32)
-        )
+        # not spend its first client's real-time budget compiling). The
+        # warm tick uses the configured H2D dtype — the int16 tick is a
+        # distinct XLA program from the f32 one.
+        self._detector.collect_events(self._detector.tick_async(
+            np.zeros((self.num_streams, self.chunk_size), self._h2d)
+        ))
         # Pre-warm the slot-scrub program too: its fixed-shape lane mask
         # means this is the ONLY compile it will ever need, so the first
         # real OPEN can never stall the timer loop on a cold-TPU compile.
@@ -574,6 +603,8 @@ class DetectionServer:
                     slot.open_sample = start_sample
         for slot_id, slot in live.items():
             chunk[slot_id] = slot.pull(self.chunk_size)
+        if self._h2d is np.int16:
+            chunk = quantize_i16(chunk)
         t0 = time.perf_counter()
         events = self._detector.tick_async(chunk)
         with self._stats_lock:

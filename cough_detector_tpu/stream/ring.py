@@ -84,7 +84,17 @@ def stream_step(
     Returns (new_state, events) where events carries per-candidate-window
     arrays: probs (S, K), smoothed (S, K), fired (S, K) bool,
     valid (K,) bool, timestamps (K,) stream-time seconds.
+
+    chunk may be int16 PCM (i = clip(round(x*32768), -32768, 32767)):
+    it is dequantized to f32 here, INSIDE the jit program, so the
+    host→device transfer moves half the bytes — at 1,024 streams the f32
+    tick uploads 6.5 MB every 100 ms (~65 MB/s), which saturates the dev
+    tunnel's measured ~60 MB/s and stalls event fetches behind it. Mic
+    capture hardware emits 16-bit PCM anyway, so the int16 tick is the
+    production-faithful ingest format, not an approximation.
     """
+    if chunk.dtype == jnp.int16:
+        chunk = chunk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     s, c = chunk.shape
     k_max = max_windows_per_chunk(c, hop_samples)
 

@@ -447,6 +447,54 @@ void io_loop(Server* s) {
   }
 }
 
+// Row converters for the two assemble output formats. The int16 variant
+// quantizes with i = clip(round(x*32768), -32768, 32767) — the inverse
+// of the device-side dequant in stream/ring.py (x = i/32768) — so the
+// daemon can upload half the bytes per tick over a bandwidth-bound
+// host↔device link (16-bit PCM is what capture hardware emits anyway).
+inline void cvt_row(float* row, const float* src, size_t n) {
+  std::memcpy(row, src, n * sizeof(float));
+}
+inline void cvt_row(int16_t* row, const float* src, size_t n) {
+  for (size_t i = 0; i < n; ++i) {
+    float v = src[i] * 32768.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    row[i] = (int16_t)(v >= 0.0f ? v + 0.5f : v - 0.5f);
+  }
+}
+
+template <typename T>
+int assemble_impl(Server* s, T* dst) {
+  int open_slots = 0;
+  size_t cap = (size_t)s->buffer_cap;
+  int chunk = s->chunk;
+  for (int sid = 0; sid < s->num_streams; ++sid) {
+    Slot& sl = *s->slots[sid];
+    T* row = dst + (size_t)sid * chunk;
+    std::lock_guard<std::mutex> lk(sl.m);
+    if (!sl.open || sl.pending) {
+      std::memset(row, 0, sizeof(T) * chunk);
+      if (sl.open) ++open_slots;
+      continue;
+    }
+    ++open_slots;
+    size_t avail = sl.wr - sl.rd;
+    size_t take = avail < (size_t)chunk ? avail : (size_t)chunk;
+    size_t r = sl.rd % cap;
+    size_t first = take < cap - r ? take : cap - r;
+    cvt_row(row, sl.ring.data() + r, first);
+    if (take > first) {
+      cvt_row(row + first, sl.ring.data(), take - first);
+    }
+    if (take < (size_t)chunk) {
+      std::memset(row + take, 0, sizeof(T) * (chunk - take));
+    }
+    sl.rd += take;
+  }
+  return open_slots;
+}
+
 }  // namespace
 
 extern "C" {
@@ -530,35 +578,14 @@ int cdt_ingest_granted(void* h, int* slots, unsigned* gens, int cap) {
 }
 
 int cdt_ingest_assemble(void* h, float* dst) {
-  auto* s = (Server*)h;
-  int open_slots = 0;
-  size_t cap = (size_t)s->buffer_cap;
-  int chunk = s->chunk;
-  for (int sid = 0; sid < s->num_streams; ++sid) {
-    Slot& sl = *s->slots[sid];
-    float* row = dst + (size_t)sid * chunk;
-    std::lock_guard<std::mutex> lk(sl.m);
-    if (!sl.open || sl.pending) {
-      std::memset(row, 0, sizeof(float) * chunk);
-      if (sl.open) ++open_slots;
-      continue;
-    }
-    ++open_slots;
-    size_t avail = sl.wr - sl.rd;
-    size_t take = avail < (size_t)chunk ? avail : (size_t)chunk;
-    size_t r = sl.rd % cap;
-    size_t first = take < cap - r ? take : cap - r;
-    std::memcpy(row, sl.ring.data() + r, first * sizeof(float));
-    if (take > first) {
-      std::memcpy(row + first, sl.ring.data(),
-                  (take - first) * sizeof(float));
-    }
-    if (take < (size_t)chunk) {
-      std::memset(row + take, 0, sizeof(float) * (chunk - take));
-    }
-    sl.rd += take;
-  }
-  return open_slots;
+  return assemble_impl((Server*)h, dst);
+}
+
+// int16 PCM assembly (quantize-on-assemble): same tick semantics, half
+// the host→device bytes. Pairs with the in-jit dequant in
+// stream/ring.py and the host twin serve.quantize_i16.
+int cdt_ingest_assemble_i16(void* h, int16_t* dst) {
+  return assemble_impl((Server*)h, dst);
 }
 
 void cdt_ingest_send_events(void* h, int n, const int* slots,

@@ -176,6 +176,200 @@ class TestDetectionDelivery:
         assert lines[-1]["serving"] is False
 
 
+class TestInt16HalfBandwidthIngest:
+    """h2d_dtype="int16": quantize on assemble (host / C++), upload
+    16-bit PCM, dequantize inside the jit tick — half the host→device
+    bytes per tick. Pins the quantizer convention (i = clip(round(x *
+    32768), -32768, 32767), half away from zero), bit-exactness of the
+    C++ twin, the in-jit dequant, and end-to-end event delivery."""
+
+    def test_quantize_i16_semantics(self):
+        from cough_detector_tpu.serve import quantize_i16
+
+        x = np.array(
+            [0.0, 1.0, -1.0, 2.0, -2.0, 0.5, -0.5,
+             1.5 / 32768, -1.5 / 32768, 0.4999 / 32768, -0.4999 / 32768],
+            np.float32,
+        )
+        got = quantize_i16(x)
+        assert got.dtype == np.int16
+        # clip at full scale; round half away from zero at the LSB.
+        np.testing.assert_array_equal(
+            got,
+            np.array([0, 32767, -32768, 32767, -32768, 16384, -16384,
+                      2, -2, 0, 0], np.int16),
+        )
+
+    def test_native_assemble_i16_matches_host_quantizer(self):
+        """The C++ quantize-on-assemble row converter (cdt_ingest.cpp
+        cvt_row<int16>) must be bit-exact with serve.quantize_i16, and
+        the f32 assemble must pass samples through untouched."""
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import native_ingest, quantize_i16
+        from cough_detector_tpu.serve import protocol
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        ing = native_ingest.NativeIngest(
+            "127.0.0.1", 0, num_streams=2, chunk=CHUNK,
+            buffer_cap=4 * CHUNK,
+        )
+        try:
+            rng = np.random.default_rng(7)
+            # Out-of-range values exercise the clip path.
+            wave = rng.uniform(-1.2, 1.2, CHUNK).astype(np.float32)
+            sock = socketlib.create_connection(ing.address)
+            sock.sendall(protocol.encode(protocol.OPEN))
+            frame = protocol.read_frame(sock)
+            assert frame is not None and frame.type == protocol.OPENED
+            sid = frame.stream
+            sock.sendall(protocol.encode_audio(sid, wave))
+
+            def ready():
+                return bool(ing.granted()) or ing.stats()["open_streams"]
+
+            assert _wait(ready, timeout=5.0)
+            # One 6.4 KB loopback frame lands in the epoll thread's ring
+            # well inside this settle; assemble() CONSUMES, so each
+            # format gets its own freshly-sent frame + one read.
+            time.sleep(0.5)
+            f32 = np.zeros((2, CHUNK), np.float32)
+            assert ing.assemble(f32) == 1
+            # f32 assemble is a pure pass-through of the wire samples.
+            np.testing.assert_array_equal(f32[sid], wave)
+            sock.sendall(protocol.encode_audio(sid, wave))
+            time.sleep(0.5)
+            i16 = np.zeros((2, CHUNK), np.int16)
+            assert ing.assemble(i16) == 1
+            np.testing.assert_array_equal(i16[sid], quantize_i16(wave))
+            sock.close()
+        finally:
+            ing.stop()
+
+    def test_int16_tick_matches_dequantized_f32_tick(self, model_and_config):
+        """stream_step's in-jit dequant: an int16 tick must produce
+        IDENTICAL events to an f32 tick carrying i/32768 — same windows,
+        same confidences, bit-for-bit on CPU."""
+        from cough_detector_tpu.serve import quantize_i16
+
+        variables, cfg = model_and_config
+
+        def make():
+            return StreamingDetector(
+                variables=variables, config=cfg, num_streams=1,
+                chunk_size=CHUNK, confidence_threshold=0.0,
+                smoothing_window=3, debounce_seconds=0.5, mesh=False,
+            )
+
+        wave = synth.synthetic_cough(11, 1.5)
+        n_chunks = wave.size // CHUNK
+        q = quantize_i16(wave[: n_chunks * CHUNK]).reshape(n_chunks, CHUNK)
+
+        det_i, det_f = make(), make()
+        evs_i, evs_f = [], []
+        for t in range(n_chunks):
+            evs_i.extend(det_i.collect_events(
+                det_i.tick_async(q[t][None, :])
+            ))
+            evs_f.extend(det_f.collect_events(det_f.tick_async(
+                (q[t][None, :].astype(np.float32) / 32768.0)
+            )))
+        assert evs_i, "fixture should produce detections"
+        assert len(evs_i) == len(evs_f)
+        for a, b in zip(evs_i, evs_f):
+            assert a.time_seconds == b.time_seconds
+            assert a.confidence == b.confidence
+
+    def test_server_int16_end_to_end(self, model_and_config):
+        """A python-backend daemon with h2d_dtype="int16" must deliver
+        the events an in-process engine produces for the QUANTIZED
+        audio (the tick quantizes on assemble, dequantizes in-jit)."""
+        from cough_detector_tpu.serve import quantize_i16
+
+        variables, cfg = model_and_config
+        wave = np.concatenate([
+            synth.synthetic_cough(7, 1.5),
+            np.zeros(8000, np.float32),
+        ])
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+
+        ref = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        expected = ref.process_chunk(
+            quantize_i16(wave).astype(np.float32) / 32768.0
+        )
+        assert expected, "fixture should produce detections"
+
+        with _make_server(model_and_config, h2d_dtype="int16") as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                got = c.events(timeout=5.0)
+        assert len(got) == len(expected)
+        for ev, exp in zip(got, expected):
+            assert ev["stream"] == sid
+            assert ev["time"] == pytest.approx(exp.time_seconds, abs=1e-6)
+            assert ev["confidence"] == pytest.approx(
+                exp.confidence, rel=1e-4
+            )
+
+    def test_native_loadgen_binary_against_daemon(self, model_and_config):
+        """The native load generator (native/cdt_loadgen.cpp) speaks the
+        same wire contract as bench._daemon_client_main: READY/GO
+        handshake, paced AUDIO frames, EVENTS/LATE report. Smoke it
+        against a timer-policy daemon."""
+        import shutil
+        import subprocess
+        import sys
+        import tempfile
+        import os
+
+        if shutil.which("g++") is None:
+            pytest.skip("no native toolchain")
+        sys.path.insert(0, "/root/repo")
+        import bench
+
+        binary = bench._ensure_loadgen()
+        assert binary is not None
+
+        wave = np.resize(
+            synth.synthetic_cough(3, 2.0), CHUNK * 12
+        ).astype(np.float32)
+        fd_, clip_path = tempfile.mkstemp(suffix=".f32")
+        with os.fdopen(fd_, "wb") as fh:
+            fh.write(wave.tobytes())
+        try:
+            with _make_server(
+                model_and_config, tick_policy="timer", num_streams=2,
+            ) as srv:
+                host, port = srv.address
+                proc = subprocess.Popen(
+                    [binary, "127.0.0.1", str(port), "2", "10",
+                     "100000", str(CHUNK), clip_path],
+                    stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                    text=True,
+                )
+                assert proc.stdout.readline().strip() == "READY"
+                proc.stdin.write("GO\n")
+                proc.stdin.flush()
+                out, _ = proc.communicate(timeout=30)
+                assert proc.returncode == 0
+                parts = out.split()
+                assert parts[0] == "EVENTS" and parts[2] == "LATE"
+                assert int(parts[1]) > 0  # threshold-0 events delivered
+                assert float(parts[3]) < 0.5  # fed on schedule
+        finally:
+            os.unlink(clip_path)
+
+
 class TestIsolationAndRecovery:
     def test_reset_streams_scrubs_only_the_given_lanes(self, model_and_config):
         """Engine-level: reset_streams zeroes the slot's ring buffer,
