@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
 import time
 
 
@@ -78,6 +79,14 @@ def main(argv=None) -> None:
         h2d_dtype=args.h2d_dtype,
     )
     host, port = server.address[0], server.address[1]
+
+    # Supervisors stop daemons with SIGTERM: route it through the same
+    # clean path as Ctrl-C so the context manager joins the tick/delivery
+    # threads, closes client sockets, and the final stats line prints.
+    def _sigterm(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _sigterm)
     with server:
         # The deadline starts AFTER start() returns: start() blocks on the
         # tick-program compile (minutes on a cold TPU), and --max-seconds
@@ -93,6 +102,7 @@ def main(argv=None) -> None:
             "streams": args.streams, "chunk_ms": args.chunk_ms,
             "model_type": config.model.model_type,
             "backend": server.backend,
+            "h2d_dtype": server.h2d_dtype,
         }), flush=True)
         try:
             while deadline is None or time.time() < deadline:

@@ -16,8 +16,10 @@ TPU-trained weights.
 from __future__ import annotations
 
 import json
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -32,6 +34,37 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+# One background writer thread serializes all non-blocking saves in
+# submission order (best_model then latest_model keep their relative
+# order); the queue is drained once per epoch by the train loop and at
+# train() exit, so at most ~2 epoch-end writes are ever in flight.
+_writer_lock = threading.Lock()
+_writer: Optional[ThreadPoolExecutor] = None
+_pending: List[Future] = []
+
+
+def _submit(fn) -> None:
+    global _writer
+    with _writer_lock:
+        if _writer is None:
+            _writer = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cdt-ckpt"
+            )
+        _pending.append(_writer.submit(fn))
+
+
+def drain_pending_saves() -> None:
+    """Block until every queued non-blocking save has committed; re-raise
+    the first failure. Called by the train loop once per epoch (the
+    previous epoch's writes have had a whole epoch to land, so this is
+    normally a no-op) and before train() returns, and by load_checkpoint
+    so a same-process reader can never observe a half-written tree."""
+    with _writer_lock:
+        pending, _pending[:] = _pending[:], []
+    for f in pending:
+        f.result()
+
+
 def save_checkpoint(
     directory: str,
     name: str,
@@ -41,6 +74,7 @@ def save_checkpoint(
     config: Config,
     extra: Optional[Dict[str, Any]] = None,
     write_meta: bool = True,
+    block: bool = True,
 ) -> str:
     """Write one named checkpoint (e.g. "best_model", "latest_model").
 
@@ -50,6 +84,17 @@ def save_checkpoint(
     call would leave the ranks' collective streams misaligned (observed
     as a gloo size-mismatch abort in the 2-process cluster test). Rank 0
     alone writes meta.json (`write_meta`).
+
+    `block=False` (single-process only — a background barrier would
+    interleave with the training loop's own collectives): the device
+    state is snapshotted to host HERE, synchronously (the caller may
+    donate those buffers to the next epoch's step the moment this
+    returns), and the disk commit + meta.json run on the writer thread —
+    an epoch-scan trainer overlaps its checkpoint I/O with the next
+    epoch's device program instead of stalling on it. meta.json is
+    written by the same job AFTER the tree commits, preserving the sync
+    path's crash-ordering (a meta.json never describes an uncommitted
+    tree). Failures surface at the next drain_pending_saves().
     """
     base = Path(directory) / name
     base.mkdir(parents=True, exist_ok=True)
@@ -60,27 +105,37 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    ckptr = _checkpointer()
-    ckptr.save((base / "state").absolute(), tree, force=True)
-    ckptr.wait_until_finished()  # StandardCheckpointer commits asynchronously
-    if not write_meta:
-        return str(base)
 
-    meta = {
-        "epoch": int(epoch),
-        "metrics": {k: float(v) for k, v in metrics.items()},
-        # Flat dict: reference .pt key compatibility. Full nested config:
-        # OUR source of truth — carries StreamConfig, compute_dtype, dropout
-        # and everything else the flat form cannot express, so serving
-        # reconstructs the complete setup from the checkpoint alone.
-        "config": config.to_flat_dict(),
-        "config_full": json.loads(config.to_json()),
-    }
-    if extra:
-        # Loop-side state that isn't part of the optimizer pytree but is
-        # needed for an exact resume (e.g. early-stopping counters).
-        meta["extra"] = extra
-    (base / "meta.json").write_text(json.dumps(meta, indent=2))
+    meta = None
+    if write_meta:
+        meta = {
+            "epoch": int(epoch),
+            "metrics": {k: float(v) for k, v in metrics.items()},
+            # Flat dict: reference .pt key compatibility. Full nested
+            # config: OUR source of truth — carries StreamConfig,
+            # compute_dtype, dropout and everything else the flat form
+            # cannot express, so serving reconstructs the complete setup
+            # from the checkpoint alone.
+            "config": config.to_flat_dict(),
+            "config_full": json.loads(config.to_json()),
+        }
+        if extra:
+            # Loop-side state that isn't part of the optimizer pytree but
+            # is needed for an exact resume (early-stopping counters).
+            meta["extra"] = extra
+
+    def commit(t) -> None:
+        ckptr = _checkpointer()
+        ckptr.save((base / "state").absolute(), t, force=True)
+        ckptr.wait_until_finished()  # StandardCheckpointer commits async
+        if meta is not None:
+            (base / "meta.json").write_text(json.dumps(meta, indent=2))
+
+    if block or jax.process_count() > 1:
+        commit(tree)
+    else:
+        host_tree = jax.device_get(tree)
+        _submit(lambda: commit(host_tree))
     return str(base)
 
 
@@ -89,6 +144,7 @@ def load_checkpoint(
 ) -> Tuple[Dict[str, Any], int, Dict[str, float], Config]:
     """Restore (tree, epoch, metrics, config). With a state template the
     tree is restored with matching shardings/dtypes; otherwise raw."""
+    drain_pending_saves()  # never read a tree a writer job is committing
     base = Path(path)
     meta = json.loads((base / "meta.json").read_text())
 

@@ -357,7 +357,15 @@ def train(
     epochs = max_epochs if max_epochs is not None else tcfg.epochs
     best_path = str(out / "best_model")
 
-    def save(name, metrics_dict, extra=None):
+    # Single-process: checkpoint writes go through the background writer
+    # (block=False) so the disk commit overlaps the NEXT epoch's device
+    # program — the loop pays only the one host snapshot per epoch (the
+    # two epoch-end saves share it). Multi-process keeps the synchronous
+    # path: Orbax's internal cross-process barrier must not run
+    # concurrently with the training collectives.
+    async_saves = jax.process_count() == 1
+
+    def save(name, metrics_dict, extra=None, snapshot=None):
         """Checkpoint write. Multi-process: EVERY rank calls into Orbax at
         the same program point (its save runs an internal cross-process
         barrier — a rank-0-only call desynchronizes the ranks' collective
@@ -366,10 +374,12 @@ def train(
         them are device-computed and replicated. Rank 0 alone writes
         meta.json."""
         ckpt.save_checkpoint(
-            output_dir, name, state, epoch, metrics_dict, config,
-            extra=extra, write_meta=is_main,
+            output_dir, name, snapshot if snapshot is not None else state,
+            epoch, metrics_dict, config,
+            extra=extra, write_meta=is_main, block=not async_saves,
         )
 
+    loop_t0 = time.perf_counter()
     for epoch in range(start_epoch, epochs):
         # ---- train ----
         # Metrics stay on device until epoch end: a float() per batch would
@@ -448,6 +458,12 @@ def train(
             "fn": val_m["fn"], "tn": val_m["tn"],
             "train_clips_per_sec": acc.count / max(train_time, 1e-9),
             "val_clips_per_sec": vacc.count / max(val_time, 1e-9),
+            # Cumulative wall clock since the loop started; the DELTA
+            # between consecutive records is the true end-to-end epoch
+            # cost (train + val + metric fetches + the previous epoch's
+            # checkpoint writes — train_clips_per_sec alone excludes
+            # epoch-end host work by construction).
+            "wall_s": round(time.perf_counter() - loop_t0, 3),
         }
         if metrics_log is not None:
             metrics_log.write(json.dumps(record) + "\n")
@@ -466,9 +482,17 @@ def train(
         # a resume continues the countdown exactly where it stood.
         stop = early(val_m["loss"])
 
+        # Drain last epoch's background writes (normally already landed —
+        # they had a whole epoch to commit) so failures surface here and
+        # at most one epoch's saves are ever in flight; then snapshot the
+        # state ONCE for this epoch's save pair.
+        host_state = None
+        if async_saves:
+            ckpt.drain_pending_saves()
+            host_state = jax.device_get(state)
         if val_m["f1"] > best_f1:
             best_f1 = val_m["f1"]
-            save("best_model", val_m)
+            save("best_model", val_m, snapshot=host_state)
             if is_main:
                 print(f"  Saved best model (F1: {best_f1:.4f})")
         save(
@@ -479,6 +503,7 @@ def train(
                     "counter": early.counter,
                 }
             },
+            snapshot=host_state,
         )
 
         if stop:
@@ -488,6 +513,9 @@ def train(
 
     if metrics_log is not None:
         metrics_log.close()
+    # The returned best_path must be fully committed: callers load it
+    # immediately (CLI --export-pt, tests, serving).
+    ckpt.drain_pending_saves()
     if is_main:
         print(f"Training complete! Best F1: {best_f1:.4f}")
     return best_path

@@ -166,7 +166,7 @@ class TestRealTwoProcessCluster:
                   (out_dist / "metrics.jsonl").read_text().splitlines()]
         assert (out_dist / "latest_model" / "meta.json").exists()
         assert len(recs_s) == len(recs_d) == 2
-        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
         for rs, rd in zip(recs_s, recs_d):
             for k, vs in rs.items():
                 if k in skip:

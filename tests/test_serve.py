@@ -175,6 +175,39 @@ class TestDetectionDelivery:
         assert lines[0]["serving"] is True
         assert lines[-1]["serving"] is False
 
+    def test_cli_sigterm_clean_shutdown(self, model_and_config, tmp_path,
+                                        capsys):
+        """Supervisors stop daemons with SIGTERM, not Ctrl-C: the CLI
+        must route it through the same clean path — threads joined,
+        final stats line printed, no traceback."""
+        import json
+        import os
+        import signal
+        import threading
+
+        variables, cfg = model_and_config
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        from cough_detector_tpu.cli import serve as serve_cli
+
+        killer = threading.Timer(
+            2.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        )
+        killer.start()
+        try:
+            serve_cli.main([
+                "--model", str(pt), "--port", "0",
+                "--streams", "2", "--stats-interval", "0.2",
+            ])  # no --max-seconds: only the signal can end it
+        finally:
+            killer.cancel()
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert lines[0]["serving"] is True
+        assert lines[-1]["serving"] is False
+
 
 class TestInt16HalfBandwidthIngest:
     """h2d_dtype="int16": quantize on assemble (host / C++), upload

@@ -207,7 +207,7 @@ class TestTrainFromShards:
                 json.loads(l)
                 for l in (out / "metrics.jsonl").read_text().splitlines()
             ]
-        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
         assert len(recs["scan"]) == len(recs["stream"]) == 2
         for ra, rb in zip(recs["scan"], recs["stream"]):
             for k, va in ra.items():
@@ -242,7 +242,7 @@ class TestTrainFromShards:
             ])
         assert [r["epoch"] for r in recs[0]] == [0, 1, 2]
         assert [r["epoch"] for r in recs[1]] == [0, 1, 2]
-        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
         for ra, rb in zip(*recs):
             for k, va in ra.items():
                 if k in skip:

@@ -158,6 +158,38 @@ class TestCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_non_blocking_save_commits_identical_checkpoint(self, tmp_path):
+        """block=False routes the commit through the background writer
+        (the epoch-scan loop overlaps checkpoint I/O with the next
+        epoch's device program): after drain_pending_saves() the tree,
+        meta and config must be indistinguishable from a blocking save —
+        including ordering, since best_model + latest_model share one
+        writer queue."""
+        cfg, state, waves, labels, cw = _tiny_setup()
+        p_async = ckpt.save_checkpoint(
+            str(tmp_path / "a"), "latest_model", state, epoch=5,
+            metrics={"f1": 0.7, "loss": 0.3}, config=cfg,
+            extra={"early_stop": {"best_loss": 0.3, "counter": 1}},
+            block=False,
+        )
+        ckpt.drain_pending_saves()
+        p_sync = ckpt.save_checkpoint(
+            str(tmp_path / "b"), "latest_model", state, epoch=5,
+            metrics={"f1": 0.7, "loss": 0.3}, config=cfg,
+            extra={"early_stop": {"best_loss": 0.3, "counter": 1}},
+        )
+        tree_a, ep_a, m_a, cfg_a = ckpt.load_checkpoint(p_async, state)
+        tree_b, ep_b, m_b, cfg_b = ckpt.load_checkpoint(p_sync, state)
+        assert ep_a == ep_b == 5 and m_a == m_b and cfg_a == cfg_b
+        import json as jsonlib
+        meta_a = jsonlib.loads((tmp_path / "a/latest_model/meta.json").read_text())
+        meta_b = jsonlib.loads((tmp_path / "b/latest_model/meta.json").read_text())
+        assert meta_a == meta_b  # extra (early-stop counters) included
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree_a), jax.tree_util.tree_leaves(tree_b)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_full_nested_config_survives(self, tmp_path):
         """The Orbax meta carries the FULL nested Config: StreamConfig and
         ModelConfig.compute_dtype/dropout — fields the reference-compatible
@@ -398,7 +430,7 @@ class TestDeterministicResume:
         ]
         assert [r["epoch"] for r in recs_a] == [0, 1, 2, 3]
         assert [r["epoch"] for r in recs_b] == [0, 1, 2, 3]
-        skip = {"train_clips_per_sec", "val_clips_per_sec"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
         for ra, rb in zip(recs_a, recs_b):
             for k, va in ra.items():
                 if k in skip:
