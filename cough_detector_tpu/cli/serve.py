@@ -83,35 +83,57 @@ def main(argv=None) -> None:
     # Supervisors stop daemons with SIGTERM: route it through the same
     # clean path as Ctrl-C so the context manager joins the tick/delivery
     # threads, closes client sockets, and the final stats line prints.
+    # The previous handler is restored on the way out — main() must be
+    # embeddable (tests, supervisors) without leaking a raising handler
+    # into the host process.
     def _sigterm(signum, frame):
         raise KeyboardInterrupt
 
-    signal.signal(signal.SIGTERM, _sigterm)
-    with server:
-        # The deadline starts AFTER start() returns: start() blocks on the
-        # tick-program compile (minutes on a cold TPU), and --max-seconds
-        # bounds SERVING time, not compile+serving — otherwise a smoke run
-        # could exit before ever accepting a client.
-        deadline = (time.time() + args.max_seconds
-                    if args.max_seconds else None)
-        # The readiness line prints only AFTER start() returns — i.e. after
-        # the tick program has compiled and the accept loop is live — so a
-        # supervisor reading it can immediately open streams.
-        print(json.dumps({
-            "serving": True, "host": host, "port": port,
-            "streams": args.streams, "chunk_ms": args.chunk_ms,
-            "model_type": config.model.model_type,
-            "backend": server.backend,
-            "h2d_dtype": server.h2d_dtype,
-        }), flush=True)
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:  # not the main thread: no handler, Ctrl-C only
+        prev_sigterm = None
+    try:
+        # The interrupt guard covers start() and shutdown too: the signal
+        # can arrive while the tick program is still compiling, or between
+        # start() returning and the sleep loop — an escaping raise would
+        # unwind the EMBEDDING process (observed as a whole pytest session
+        # aborted mid-suite), and a raise inside __enter__ would skip
+        # __exit__ and leak the tick/delivery threads. stop() is safe
+        # after a partial start, so the finally always runs it.
         try:
+            server.start()
+            # The deadline starts AFTER start() returns: start() blocks
+            # on the tick-program compile (minutes on a cold TPU), and
+            # --max-seconds bounds SERVING time, not compile+serving —
+            # otherwise a smoke run could exit before ever accepting a
+            # client.
+            deadline = (time.time() + args.max_seconds
+                        if args.max_seconds else None)
+            # The readiness line prints only AFTER start() returns — i.e.
+            # after the tick program has compiled and the accept loop is
+            # live — so a supervisor reading it can immediately open
+            # streams.
+            print(json.dumps({
+                "serving": True, "host": host, "port": port,
+                "streams": args.streams, "chunk_ms": args.chunk_ms,
+                "model_type": config.model.model_type,
+                "backend": server.backend,
+                "h2d_dtype": server.h2d_dtype,
+            }), flush=True)
             while deadline is None or time.time() < deadline:
                 time.sleep(min(args.stats_interval,
                                max(0.0, (deadline - time.time()))
-                               if deadline else args.stats_interval) or 0.01)
+                               if deadline else args.stats_interval)
+                           or 0.01)
                 print(json.dumps(server.stats()), flush=True)
         except KeyboardInterrupt:
             pass
+        finally:
+            server.stop()
+    finally:
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
     print(json.dumps({"serving": False, **server.stats()}), flush=True)
 
 
