@@ -76,6 +76,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdt_ingest_assemble_i16.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
         ]
+        lib.cdt_ingest_ready.restype = ctypes.c_int
+        lib.cdt_ingest_ready.argtypes = [ctypes.c_void_p]
         lib.cdt_ingest_send_events.restype = None
         lib.cdt_ingest_send_events.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -182,6 +184,15 @@ class NativeIngest:
             self._h,
             dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ))
+
+    def ready(self) -> bool:
+        """Eager-tick predicate: ≥1 open slot and every open slot has a
+        full chunk buffered (pending slots included — the next tick
+        activates them before assembling). Twin of the python tier's
+        _ready()."""
+        if self._h is None:
+            return False
+        return bool(self._lib.cdt_ingest_ready(self._h))
 
     def send_events(
         self,

@@ -202,9 +202,9 @@ class DetectionServer:
         "native" (C++ epoll data plane, native/cdt_ingest.cpp — no
         Python in the per-frame path, ~4x the stream ceiling), or
         "auto" (native when the toolchain built it, else python). Both
-        speak the identical wire protocol; the native plane is
-        timer-policy only (eager ticking needs per-slot buffer
-        introspection the C ABI doesn't expose).
+        speak the identical wire protocol and support both tick
+        policies (the native plane's eager-readiness predicate is
+        cdt_ingest_ready, the C++ twin of this module's _ready()).
 
         `h2d_dtype`: dtype of the per-tick host→device batch. "float32"
         (default, exact) or "int16" (16-bit PCM: quantize on assemble —
@@ -226,8 +226,6 @@ class DetectionServer:
             )
         if backend not in ("python", "native"):
             raise ValueError(f"unknown backend {backend!r}")
-        if backend == "native" and tick_policy != "timer":
-            raise ValueError("native backend supports tick_policy='timer'")
         if h2d_dtype not in ("float32", "int16"):
             raise ValueError(f"unknown h2d_dtype {h2d_dtype!r}")
         self.h2d_dtype = h2d_dtype
@@ -514,6 +512,8 @@ class DetectionServer:
     # -- device side -----------------------------------------------------
 
     def _ready(self) -> bool:
+        if self._ingest is not None:
+            return self._ingest.ready()
         with self._reg_lock:
             slots = list(self._slots.values())
         return bool(slots) and all(

@@ -581,6 +581,25 @@ int cdt_ingest_assemble(void* h, float* dst) {
   return assemble_impl((Server*)h, dst);
 }
 
+// Eager-tick readiness (serve/server.py tick_policy="eager"): 1 iff at
+// least one slot is open and EVERY open slot has a full chunk buffered —
+// the same predicate the python tier's _ready() computes over its slot
+// registry. Pending (granted-but-unactivated) slots count too: the tick
+// that follows activates them via cdt_ingest_granted before assembling,
+// so their audio is consumed by that same tick.
+int cdt_ingest_ready(void* h) {
+  auto* s = (Server*)h;
+  int open_slots = 0;
+  for (int sid = 0; sid < s->num_streams; ++sid) {
+    Slot& sl = *s->slots[sid];
+    std::lock_guard<std::mutex> lk(sl.m);
+    if (!sl.open) continue;
+    ++open_slots;
+    if (sl.wr - sl.rd < (size_t)s->chunk) return 0;
+  }
+  return open_slots > 0 ? 1 : 0;
+}
+
 // int16 PCM assembly (quantize-on-assemble): same tick semantics, half
 // the host→device bytes. Pairs with the in-jit dequant in
 // stream/ring.py and the host twin serve.quantize_i16.

@@ -636,6 +636,66 @@ class TestIsolationAndRecovery:
             with DetectionClient(host, port) as cc:
                 assert isinstance(cc.open_stream(), int)
 
+    def test_native_backend_eager_exact_parity(self, model_and_config):
+        """Native plane + eager policy (cdt_ingest_ready): ticks fire in
+        lockstep with the offered audio, so events must match the
+        in-process engine EXACTLY — no tick-offset search, unlike the
+        timer-policy test above where a wall-clock tick can land between
+        OPENED and the first AUDIO frame."""
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        variables, cfg = model_and_config
+        wave = np.concatenate([
+            synth.synthetic_cough(7, 1.5),
+            np.zeros(8000, np.float32),
+        ])
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+
+        ref = StreamingDetector(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        expected = ref.process_chunk(np.stack([wave, wave]))
+        assert expected
+
+        srv = DetectionServer(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            debounce_seconds=0.5, tick_policy="eager", mesh=False,
+            backend="native",
+        )
+        assert srv.backend == "native"
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as ca, \
+                 DetectionClient(host, port) as cb:
+                sa = ca.open_stream()
+                sb = cb.open_stream()
+                for t in range(n_chunks):
+                    ca.send_audio(sa, wave[t * CHUNK : (t + 1) * CHUNK])
+                    cb.send_audio(sb, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                evs_a = ca.events(timeout=5.0)
+                evs_b = cb.events(timeout=1.0)
+        # Both lanes fed identical audio in lockstep: every event matches
+        # the in-process engine exactly, per stream.
+        per_stream = {sa: evs_a, sb: evs_b}
+        for sid, evs in per_stream.items():
+            exp = [e for e in expected if e.stream == 0]
+            assert len(evs) == len(exp)
+            for ev, ex in zip(evs, exp):
+                assert ev["stream"] == sid
+                assert ev["time"] == pytest.approx(
+                    ex.time_seconds, abs=1e-6
+                )
+                assert ev["confidence"] == pytest.approx(
+                    ex.confidence, rel=1e-4
+                )
+
     def test_native_backend_overflow_drops_oldest_and_counts(
         self, model_and_config
     ):
