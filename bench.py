@@ -193,8 +193,10 @@ def _ensure_loadgen():
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "native", "cdt_loadgen.cpp")
     out = os.path.join(here, "native", "cdt_loadgen")
+    # STRICTLY newer: equal mtimes (fresh checkout, copied tree) rebuild —
+    # a stale or foreign-platform binary must never be trusted.
     if (os.path.exists(out)
-            and os.path.getmtime(out) >= os.path.getmtime(src)):
+            and os.path.getmtime(out) > os.path.getmtime(src)):
         return out
     if shutil.which("g++") is None:
         return None
@@ -243,6 +245,10 @@ def daemon_bench(
     from cough_detector_tpu.models import create_model, init_model
     from cough_detector_tpu.serve import DetectionServer
 
+    if loadgen not in ("python", "native"):
+        # A typo'd --loadgen must not silently run the Python generators
+        # (which fall behind past ~1k streams) under a mislabeled row.
+        raise ValueError(f"unknown loadgen {loadgen!r}")
     cfg = default_config("residual")
     model = create_model(cfg.model.model_type)
     variables = init_model(
@@ -285,54 +291,61 @@ def daemon_bench(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
         )
 
-    with server:
-        host, port = server.address
-        per_client = [
-            num_streams // n_clients
-            + (1 if i < num_streams % n_clients else 0)
-            for i in range(n_clients)
-        ]
-        procs = [spawn(m) for m in per_client]
-        for p in procs:
-            line = p.stdout.readline()
-            if line.strip() != "READY":
-                for q in procs:
-                    q.kill()
-                raise RuntimeError(f"daemon bench client failed: {line!r}")
-        # Ticks already run during the open phase (the timer starts with
-        # the first slot) must not count toward the timed window. Cadence
-        # is measured on the DISPATCH clock over an exact wall window —
-        # the timer loop blocks when the delivery pipeline is chronically
-        # behind, so missed dispatches are the real-time failure signal;
-        # delivery health shows in the lag percentiles and tick counts.
-        d0 = server.stats()["dispatched"]
-        t_start = time.monotonic()
-        for p in procs:
-            p.stdin.write("GO\n")
-            p.stdin.flush()
-        time.sleep(seconds)
-        elapsed = time.monotonic() - t_start
-        d1 = server.stats()["dispatched"]
-        total_events = 0
-        max_late = 0.0
-        for p in procs:
+    try:
+        with server:
+            host, port = server.address
+            per_client = [
+                num_streams // n_clients
+                + (1 if i < num_streams % n_clients else 0)
+                for i in range(n_clients)
+            ]
+            procs = [spawn(m) for m in per_client]
+            for p in procs:
+                line = p.stdout.readline()
+                if line.strip() != "READY":
+                    for q in procs:
+                        q.kill()
+                    raise RuntimeError(
+                        f"daemon bench client failed: {line!r}"
+                    )
+            # Ticks already run during the open phase (the timer starts
+            # with the first slot) must not count toward the timed
+            # window. Cadence is measured on the DISPATCH clock over an
+            # exact wall window — the timer loop blocks when the
+            # delivery pipeline is chronically behind, so missed
+            # dispatches are the real-time failure signal; delivery
+            # health shows in the lag percentiles and tick counts.
+            d0 = server.stats()["dispatched"]
+            t_start = time.monotonic()
+            for p in procs:
+                p.stdin.write("GO\n")
+                p.stdin.flush()
+            time.sleep(seconds)
+            elapsed = time.monotonic() - t_start
+            d1 = server.stats()["dispatched"]
+            total_events = 0
+            max_late = 0.0
+            for p in procs:
+                try:
+                    out, _ = p.communicate(timeout=60)
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    out = ""
+                for line in out.splitlines():
+                    if line.startswith("EVENTS "):
+                        parts = line.split()
+                        total_events += int(parts[1])
+                        if len(parts) >= 4:
+                            max_late = max(max_late, float(parts[3]))
+            stats = server.stats()
+    finally:
+        # The clip tempfile must not outlive a failed run (refused
+        # handshakes at the ramp's overflow point raise above).
+        if clip_path is not None:
             try:
-                out, _ = p.communicate(timeout=60)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                out = ""
-            for line in out.splitlines():
-                if line.startswith("EVENTS "):
-                    parts = line.split()
-                    total_events += int(parts[1])
-                    if len(parts) >= 4:
-                        max_late = max(max_late, float(parts[3]))
-        stats = server.stats()
-    if clip_path is not None:
-        try:
-            os.unlink(clip_path)
-        except OSError:
-            pass
+                os.unlink(clip_path)
+            except OSError:
+                pass
     timed_ticks = d1 - d0
     expected_ticks = elapsed / tick_s
     cadence = timed_ticks / max(expected_ticks, 1e-9)

@@ -130,6 +130,13 @@ def main(argv=None) -> None:
         except KeyboardInterrupt:
             pass
         finally:
+            # Disarm BEFORE shutdown: stop() joins threads (seconds); a
+            # supervisor escalating with a second SIGTERM during that
+            # window must not raise past this guard — that would be the
+            # exact embedding-process abort this handler exists to
+            # prevent.
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, signal.SIG_IGN)
             server.stop()
     finally:
         if prev_sigterm is not None:

@@ -74,11 +74,15 @@ def quantize_i16(x: np.ndarray) -> np.ndarray:
     rounding half away from zero — bit-exact twin of the C++
     quantize-on-assemble row converter (native/cdt_ingest.cpp cvt_row)
     and inverse of the in-jit dequant in stream/ring.py (x = i/32768).
-    This is the half-bandwidth H2D tick format: at 1,024 streams the f32
-    tick uploads ~65 MB/s, which saturates a ~60 MB/s host↔device link;
-    16-bit PCM is also what capture hardware emits, so quantizing here
-    reproduces the mic-faithful signal, not an approximation of it."""
-    v = np.clip(x * 32768.0, -32768.0, 32767.0)
+    Non-finite samples (any 4 wire bytes decode to a valid f32, so NaN
+    can arrive from a client): NaN → 0, ±inf → full scale — pinned
+    explicitly in BOTH twins because the raw float→int conversion is
+    undefined for them. This is the half-bandwidth H2D tick format: at
+    1,024 streams the f32 tick uploads ~65 MB/s, which saturates a
+    ~60 MB/s host↔device link; 16-bit PCM is also what capture hardware
+    emits, so quantizing here reproduces the mic-faithful signal, not
+    an approximation of it."""
+    v = np.clip(np.nan_to_num(x * 32768.0, nan=0.0), -32768.0, 32767.0)
     return np.trunc(v + np.copysign(0.5, v)).astype(np.int16)
 
 
@@ -219,11 +223,7 @@ class DetectionServer:
         if backend == "auto":
             from . import native_ingest
 
-            backend = (
-                "native"
-                if tick_policy == "timer" and native_ingest.available()
-                else "python"
-            )
+            backend = "native" if native_ingest.available() else "python"
         if backend not in ("python", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         if h2d_dtype not in ("float32", "int16"):

@@ -458,8 +458,12 @@ inline void cvt_row(float* row, const float* src, size_t n) {
 inline void cvt_row(int16_t* row, const float* src, size_t n) {
   for (size_t i = 0; i < n; ++i) {
     float v = src[i] * 32768.0f;
-    if (v > 32767.0f) v = 32767.0f;
-    if (v < -32768.0f) v = -32768.0f;
+    if (!(v == v)) {  // NaN on the wire (any 4 bytes are a valid f32
+      row[i] = 0;     // frame): map to 0 — the float->int conversion
+      continue;       // would otherwise be UB and diverge from the
+    }                 // python twin's convention.
+    if (v > 32767.0f) v = 32767.0f;    // +inf clips here
+    if (v < -32768.0f) v = -32768.0f;  // -inf clips here
     row[i] = (int16_t)(v >= 0.0f ? v + 0.5f : v - 0.5f);
   }
 }

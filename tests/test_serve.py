@@ -231,16 +231,19 @@ class TestInt16HalfBandwidthIngest:
 
         x = np.array(
             [0.0, 1.0, -1.0, 2.0, -2.0, 0.5, -0.5,
-             1.5 / 32768, -1.5 / 32768, 0.4999 / 32768, -0.4999 / 32768],
+             1.5 / 32768, -1.5 / 32768, 0.4999 / 32768, -0.4999 / 32768,
+             np.nan, np.inf, -np.inf],
             np.float32,
         )
         got = quantize_i16(x)
         assert got.dtype == np.int16
-        # clip at full scale; round half away from zero at the LSB.
+        # clip at full scale; round half away from zero at the LSB;
+        # non-finite convention: NaN -> 0, +/-inf -> full scale (any 4
+        # wire bytes decode to a valid f32, so these CAN arrive).
         np.testing.assert_array_equal(
             got,
             np.array([0, 32767, -32768, 32767, -32768, 16384, -16384,
-                      2, -2, 0, 0], np.int16),
+                      2, -2, 0, 0, 0, 32767, -32768], np.int16),
         )
 
     def test_native_assemble_i16_matches_host_quantizer(self):
@@ -260,8 +263,11 @@ class TestInt16HalfBandwidthIngest:
         )
         try:
             rng = np.random.default_rng(7)
-            # Out-of-range values exercise the clip path.
+            # Out-of-range values exercise the clip path; injected
+            # non-finites exercise the pinned NaN->0 / inf->full-scale
+            # convention (C++ and host twins must agree bit-for-bit).
             wave = rng.uniform(-1.2, 1.2, CHUNK).astype(np.float32)
+            wave[7], wave[8], wave[9] = np.nan, np.inf, -np.inf
             sock = socketlib.create_connection(ing.address)
             sock.sendall(protocol.encode(protocol.OPEN))
             frame = protocol.read_frame(sock)
@@ -635,6 +641,29 @@ class TestIsolationAndRecovery:
             bad.close()
             with DetectionClient(host, port) as cc:
                 assert isinstance(cc.open_stream(), int)
+
+    def test_auto_backend_resolves_native_for_both_policies(
+        self, model_and_config
+    ):
+        """backend="auto" must pick the native plane for BOTH tick
+        policies when the toolchain built it — a leftover timer-only
+        condition once silently downgraded eager daemons to the python
+        tier (1/4 the documented ceiling) with no error."""
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        for policy in ("timer", "eager"):
+            srv = _make_server(
+                model_and_config, tick_policy=policy, backend="auto",
+                num_streams=2,
+            )
+            try:
+                assert srv.backend == "native", policy
+            finally:
+                # Never started; only the ingest plane needs closing.
+                if srv._ingest is not None:
+                    srv._ingest.stop()
 
     def test_native_backend_eager_exact_parity(self, model_and_config):
         """Native plane + eager policy (cdt_ingest_ready): ticks fire in
