@@ -41,13 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(no Python in the per-frame path; ~4x the "
                         "stream ceiling), python = portable fallback, "
                         "auto = native when the toolchain built it")
-    p.add_argument("--h2d-dtype", choices=["float32", "int16"],
+    p.add_argument("--h2d-dtype", choices=["float32", "int16", "mulaw"],
                    default="float32",
                    help="Per-tick host→device batch format: int16 = "
                         "16-bit PCM (quantize on assemble, dequantize "
                         "in-jit) — half the upload bytes per tick; "
                         "doubles the ceiling on a bandwidth-bound "
-                        "host↔device link")
+                        "host↔device link. mulaw = 8-bit μ-law "
+                        "companding — quarter the bytes, for links "
+                        "where even int16 saturates (approximate: "
+                        "measured confidence deltas in docs/PARITY.md)")
     p.add_argument("--stats-interval", type=float, default=10.0)
     p.add_argument("--max-seconds", type=float, default=None,
                    help="Exit after this long (smoke tests / supervisors)")

@@ -8,8 +8,15 @@ protocol. CLI: `python -m cough_detector_tpu.cli.serve` / `cdt-serve`.
 """
 
 from .client import DetectionClient, ServerRefused
-from .server import DetectionServer, quantize_i16
+from .server import (
+    DetectionServer,
+    dequantize_mulaw,
+    h2d_silence,
+    quantize_i16,
+    quantize_mulaw,
+)
 
 __all__ = [
-    "DetectionClient", "DetectionServer", "ServerRefused", "quantize_i16",
+    "DetectionClient", "DetectionServer", "ServerRefused",
+    "dequantize_mulaw", "h2d_silence", "quantize_i16", "quantize_mulaw",
 ]

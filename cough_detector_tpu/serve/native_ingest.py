@@ -76,6 +76,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdt_ingest_assemble_i16.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
         ]
+        lib.cdt_ingest_assemble_u8.restype = ctypes.c_int
+        lib.cdt_ingest_assemble_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+        ]
         lib.cdt_ingest_ready.restype = ctypes.c_int
         lib.cdt_ingest_ready.argtypes = [ctypes.c_void_p]
         lib.cdt_ingest_send_events.restype = None
@@ -166,19 +170,27 @@ class NativeIngest:
 
     def assemble(self, dst: np.ndarray) -> int:
         """Fill dst (num_streams, chunk) with one tick of audio
-        (zero-filled underruns); returns the open-slot count. dst may be
-        f32 (exact samples) or int16 (quantize-on-assemble in C++ — the
+        (silence-filled underruns); returns the open-slot count. dst may
+        be f32 (exact samples), int16 (quantize-on-assemble in C++ — the
         half-bandwidth H2D format; convention matches serve.quantize_i16
-        and the in-jit dequant in stream/ring.py)."""
+        and the in-jit dequant in stream/ring.py) or uint8 (8-bit μ-law
+        compand-on-assemble, quarter bandwidth; twin of
+        serve.quantize_mulaw; silence is code 128)."""
         assert dst.shape == (self.num_streams, self.chunk)
-        assert dst.dtype in (np.float32, np.int16) and dst.flags.c_contiguous
+        assert dst.dtype in (np.float32, np.int16, np.uint8)
+        assert dst.flags.c_contiguous
         if self._h is None:
-            dst[:] = 0
+            dst[:] = 128 if dst.dtype == np.uint8 else 0
             return 0
         if dst.dtype == np.int16:
             return int(self._lib.cdt_ingest_assemble_i16(
                 self._h,
                 dst.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+            ))
+        if dst.dtype == np.uint8:
+            return int(self._lib.cdt_ingest_assemble_u8(
+                self._h,
+                dst.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             ))
         return int(self._lib.cdt_ingest_assemble(
             self._h,

@@ -86,6 +86,58 @@ def quantize_i16(x: np.ndarray) -> np.ndarray:
     return np.trunc(v + np.copysign(0.5, v)).astype(np.int16)
 
 
+# μ-law companding constants (G.711-style continuous μ-law, μ=255).
+# 1/ln(1+μ): multiplying by the reciprocal keeps the C++ twin
+# (cdt_ingest.cpp cvt_row<uint8>) bit-exact without a per-sample divide.
+_MULAW_MU = 255.0
+_MULAW_INV_LN = 1.0 / np.log(256.0)
+
+
+def quantize_mulaw(x: np.ndarray) -> np.ndarray:
+    """f32 audio → 8-bit μ-law (μ=255): compand with
+    sign(x)·ln(1+255|x|)/ln(256) over x clipped to [-1,1], then map
+    [-1,1] → codes [0,255] rounding half away from zero. Bit-exact twin
+    of the C++ quantize-on-assemble converter (native/cdt_ingest.cpp
+    cvt_row<uint8>; both compute in float64) and inverse of the in-jit
+    dequant in stream/ring.py. Non-finite convention matches
+    quantize_i16: NaN → code 128 (zero), ±inf → full scale.
+
+    This is the QUARTER-bandwidth H2D tick format for links where even
+    the int16 tick saturates (the dev tunnel's ~60 MB/s wall lands at
+    2,048 int16 streams). μ-law is telephony's standard 8-bit codec:
+    quantization noise rides the signal level (~38 dB SNR) instead of
+    the full scale, so quiet audio — most of a cough stream — keeps
+    int16-like fidelity. Measured effect on confidences is documented
+    in docs/PARITY.md; opt-in via h2d_dtype="mulaw"."""
+    v = np.clip(
+        np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0), -1.0, 1.0
+    ).astype(np.float64)
+    m = np.sign(v) * np.log1p(_MULAW_MU * np.abs(v)) * _MULAW_INV_LN
+    # Mid-tread: m ∈ [-1,1] → signed level round(m·127) ∈ [-127,127] →
+    # code u = level+128 ∈ [1,255] (code 0 unused, as in G.711). The
+    # tread matters: x=0 MUST map to a code that decodes to exactly 0 —
+    # a mid-riser's half-step DC offset on digital silence would be
+    # blown up to full scale by the per-window peak normalization in
+    # the scoring path.
+    lvl = np.trunc(m * 127.0 + np.copysign(0.5, m))
+    return (lvl + 128.0).astype(np.uint8)
+
+
+def dequantize_mulaw(u: np.ndarray) -> np.ndarray:
+    """Host-side inverse of quantize_mulaw (f64 math, f32 result) —
+    the reference decoder tests compare the in-jit dequant against."""
+    y = (u.astype(np.float64) - 128.0) / 127.0
+    x = np.sign(y) * np.expm1(np.abs(y) * np.log(256.0)) / _MULAW_MU
+    return x.astype(np.float32)
+
+
+def h2d_silence(shape, dtype) -> np.ndarray:
+    """Digital silence in a given H2D tick format: 0 for float32/int16,
+    code 128 for μ-law (whose mid-tread zero is NOT the 0 byte)."""
+    fill = 128 if np.dtype(dtype) == np.uint8 else 0
+    return np.full(shape, fill, dtype)
+
+
 class _Slot:
     __slots__ = ("owner", "buffer", "buffered", "lock", "open_sample")
 
@@ -217,7 +269,12 @@ class DetectionServer:
         doubles the stream ceiling when the host↔device link is
         bandwidth-bound (dev tunnel: ~60 MB/s vs the 65 MB/s a 1,024
         stream f32 tick needs). Logits move by O(1e-5) — within the
-        1e-3 parity budget, re-measured on chip (docs/PARITY.md)."""
+        1e-3 parity budget, re-measured on chip (docs/PARITY.md).
+        "mulaw" (8-bit μ-law companding, see quantize_mulaw) quarters
+        the f32 bytes for links where even int16 saturates; its
+        signal-tracking quantization noise is an approximation (measured
+        confidence deltas in docs/PARITY.md), so it is the explicit
+        opt-in for bandwidth-starved deployments, not a default."""
         if tick_policy not in ("timer", "eager"):
             raise ValueError(f"unknown tick_policy {tick_policy!r}")
         if backend == "auto":
@@ -226,10 +283,13 @@ class DetectionServer:
             backend = "native" if native_ingest.available() else "python"
         if backend not in ("python", "native"):
             raise ValueError(f"unknown backend {backend!r}")
-        if h2d_dtype not in ("float32", "int16"):
+        _h2d_dtypes = {
+            "float32": np.float32, "int16": np.int16, "mulaw": np.uint8,
+        }
+        if h2d_dtype not in _h2d_dtypes:
             raise ValueError(f"unknown h2d_dtype {h2d_dtype!r}")
         self.h2d_dtype = h2d_dtype
-        self._h2d = np.float32 if h2d_dtype == "float32" else np.int16
+        self._h2d = _h2d_dtypes[h2d_dtype]
         self.backend = backend
         self._detector = StreamingDetector(
             model_path,
@@ -320,7 +380,7 @@ class DetectionServer:
         # warm tick uses the configured H2D dtype — the int16 tick is a
         # distinct XLA program from the f32 one.
         self._detector.collect_events(self._detector.tick_async(
-            np.zeros((self.num_streams, self.chunk_size), self._h2d)
+            h2d_silence((self.num_streams, self.chunk_size), self._h2d)
         ))
         # Pre-warm the slot-scrub program too: its fixed-shape lane mask
         # means this is the ONLY compile it will ever need, so the first
@@ -605,6 +665,8 @@ class DetectionServer:
             chunk[slot_id] = slot.pull(self.chunk_size)
         if self._h2d is np.int16:
             chunk = quantize_i16(chunk)
+        elif self._h2d is np.uint8:
+            chunk = quantize_mulaw(chunk)
         t0 = time.perf_counter()
         events = self._detector.tick_async(chunk)
         with self._stats_lock:

@@ -92,9 +92,20 @@ def stream_step(
     tunnel's measured ~60 MB/s and stalls event fetches behind it. Mic
     capture hardware emits 16-bit PCM anyway, so the int16 tick is the
     production-faithful ingest format, not an approximation.
+
+    chunk may also be uint8 μ-law codes (serve.quantize_mulaw: mid-tread
+    G.711-style companding, code = round(sign(x)·ln(1+255|x|)/ln(256)
+    · 127) + 128) — the quarter-bandwidth tick for links where even the
+    int16 upload saturates. Decoded here in-jit: x = sign(y)·(256^|y|
+    − 1)/255 with y = (code−128)/127.
     """
     if chunk.dtype == jnp.int16:
         chunk = chunk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    elif chunk.dtype == jnp.uint8:
+        y = (chunk.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 127.0)
+        chunk = jnp.sign(y) * (
+            jnp.exp2(jnp.abs(y) * jnp.float32(8.0)) - 1.0
+        ) * jnp.float32(1.0 / 255.0)
     s, c = chunk.shape
     k_max = max_windows_per_chunk(c, hop_samples)
 

@@ -34,6 +34,7 @@
 
 #include <arpa/inet.h>
 #include <cerrno>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -467,6 +468,36 @@ inline void cvt_row(int16_t* row, const float* src, size_t n) {
     row[i] = (int16_t)(v >= 0.0f ? v + 0.5f : v - 0.5f);
   }
 }
+// 8-bit μ-law (μ=255), mid-tread: code = round(sign(x)·ln(1+255|x|)
+// /ln(256) · 127) + 128 over x clipped to [-1,1]; code 128 IS exact
+// zero (digital silence must survive companding — the scoring path
+// peak-normalizes per window and would amplify a mid-riser's DC
+// offset to full scale). float64 math end-to-end so the python twin
+// serve.quantize_mulaw is bit-exact. NaN -> 128, ±inf -> full scale.
+inline void cvt_row(uint8_t* row, const float* src, size_t n) {
+  constexpr double kInvLn256 = 0.18033688011112042;  // 1/ln(256)
+  for (size_t i = 0; i < n; ++i) {
+    double v = (double)src[i];
+    if (!(v == v)) v = 0.0;
+    if (v > 1.0) v = 1.0;
+    if (v < -1.0) v = -1.0;
+    double m = std::log1p(255.0 * std::fabs(v)) * kInvLn256;
+    double lvl = m * 127.0 + 0.5;  // |m| <= 1 so |level| <= 127
+    row[i] = (uint8_t)(v >= 0.0 ? 128.0 + (double)(int)lvl
+                                : 128.0 - (double)(int)lvl);
+  }
+}
+
+// Digital silence per output format: 0 for f32/int16, but μ-law's zero
+// is CODE 128 (mid-tread) — a 0x00 fill would decode to ~full-scale
+// negative DC on every underrun/closed row.
+template <typename T>
+inline void silence_fill(T* p, size_t n) {
+  std::memset(p, 0, sizeof(T) * n);
+}
+inline void silence_fill(uint8_t* p, size_t n) {
+  std::memset(p, 128, n);
+}
 
 template <typename T>
 int assemble_impl(Server* s, T* dst) {
@@ -478,7 +509,7 @@ int assemble_impl(Server* s, T* dst) {
     T* row = dst + (size_t)sid * chunk;
     std::lock_guard<std::mutex> lk(sl.m);
     if (!sl.open || sl.pending) {
-      std::memset(row, 0, sizeof(T) * chunk);
+      silence_fill(row, chunk);
       if (sl.open) ++open_slots;
       continue;
     }
@@ -492,7 +523,7 @@ int assemble_impl(Server* s, T* dst) {
       cvt_row(row + first, sl.ring.data(), take - first);
     }
     if (take < (size_t)chunk) {
-      std::memset(row + take, 0, sizeof(T) * (chunk - take));
+      silence_fill(row + take, (size_t)(chunk - take));
     }
     sl.rd += take;
   }
@@ -608,6 +639,14 @@ int cdt_ingest_ready(void* h) {
 // the host→device bytes. Pairs with the in-jit dequant in
 // stream/ring.py and the host twin serve.quantize_i16.
 int cdt_ingest_assemble_i16(void* h, int16_t* dst) {
+  return assemble_impl((Server*)h, dst);
+}
+
+// 8-bit μ-law assembly (compand-on-assemble): same tick semantics,
+// one quarter of the f32 host→device bytes. Pairs with the in-jit
+// μ-law decode in stream/ring.py and the host twin
+// serve.quantize_mulaw.
+int cdt_ingest_assemble_u8(void* h, uint8_t* dst) {
   return assemble_impl((Server*)h, dst);
 }
 

@@ -419,6 +419,200 @@ class TestInt16HalfBandwidthIngest:
             os.unlink(clip_path)
 
 
+class TestMulawQuarterBandwidthIngest:
+    """h2d_dtype="mulaw": 8-bit μ-law companding on assemble, decode
+    inside the jit tick — one quarter of the f32 host→device bytes for
+    links where even the int16 tick saturates. Pins the mid-tread code
+    convention (zero ↔ code 128 exactly — a mid-riser's DC offset on
+    digital silence would be amplified to full scale by per-window peak
+    normalization), bit-exactness of the C++ twin, the in-jit decoder,
+    the companded-fidelity bound, and end-to-end event delivery."""
+
+    def test_quantize_mulaw_semantics(self):
+        from cough_detector_tpu.serve import quantize_mulaw
+
+        x = np.array(
+            [0.0, -0.0, 1.0, -1.0, 2.0, -2.0, np.nan, np.inf, -np.inf],
+            np.float32,
+        )
+        got = quantize_mulaw(x)
+        assert got.dtype == np.uint8
+        # zero (either sign) is EXACTLY code 128; clip at full scale;
+        # non-finite convention matches quantize_i16 (NaN -> zero code,
+        # ±inf -> full scale). Code 0 is unused (G.711-style).
+        np.testing.assert_array_equal(
+            got, np.array([128, 128, 255, 1, 255, 1, 128, 255, 1], np.uint8)
+        )
+
+    def test_mulaw_roundtrip_fidelity(self):
+        """decode(encode(x)) error is bounded by half a companded step:
+        ~8.7e-5 absolute near zero (int16-like fidelity where audio
+        lives), |x|·ln(256)/127/2 ≈ 2.2% relative at full scale."""
+        from cough_detector_tpu.serve import dequantize_mulaw, quantize_mulaw
+
+        xs = np.linspace(-1.0, 1.0, 100001).astype(np.float32)
+        err = np.abs(dequantize_mulaw(quantize_mulaw(xs)) - xs)
+        # Half-step bound, evaluated at each sample's own magnitude:
+        # d(decode)/dy = ln(256)·(1/255 + |x|), y-step = 1/127.
+        bound = np.log(256.0) * (1.0 / 255.0 + np.abs(xs)) / 127.0 / 2.0
+        # 1.05: the decode step's derivative grows by 256^(1/127) ≈ 1.045
+        # across one code, so the half-step bound evaluated at the sample
+        # itself can undershoot by that factor.
+        assert np.all(err <= bound * 1.05 + 1e-9)
+        np.testing.assert_array_equal(
+            dequantize_mulaw(quantize_mulaw(np.zeros(8, np.float32))),
+            np.zeros(8, np.float32),
+        )
+
+    def test_native_assemble_u8_matches_host_quantizer(self):
+        """The C++ compand-on-assemble converter (cdt_ingest.cpp
+        cvt_row<uint8>) must be bit-exact with serve.quantize_mulaw,
+        and silence-fill must be code 128, not byte 0."""
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import native_ingest, quantize_mulaw
+        from cough_detector_tpu.serve import protocol
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        ing = native_ingest.NativeIngest(
+            "127.0.0.1", 0, num_streams=2, chunk=CHUNK,
+            buffer_cap=4 * CHUNK,
+        )
+        try:
+            rng = np.random.default_rng(11)
+            wave = rng.uniform(-1.2, 1.2, CHUNK).astype(np.float32)
+            # Quiet region exercises the fine-step end of the compander.
+            wave[:400] *= 1e-3
+            wave[7], wave[8], wave[9] = np.nan, np.inf, -np.inf
+            sock = socketlib.create_connection(ing.address)
+            sock.sendall(protocol.encode(protocol.OPEN))
+            frame = protocol.read_frame(sock)
+            assert frame is not None and frame.type == protocol.OPENED
+            sid = frame.stream
+            sock.sendall(protocol.encode_audio(sid, wave))
+
+            def ready():
+                return bool(ing.granted()) or ing.stats()["open_streams"]
+
+            assert _wait(ready, timeout=5.0)
+            time.sleep(0.5)
+            u8 = np.zeros((2, CHUNK), np.uint8)
+            assert ing.assemble(u8) == 1
+            np.testing.assert_array_equal(u8[sid], quantize_mulaw(wave))
+            # The closed slot's row is μ-law silence (code 128).
+            other = 1 - sid
+            np.testing.assert_array_equal(
+                u8[other], np.full(CHUNK, 128, np.uint8)
+            )
+            sock.close()
+        finally:
+            ing.stop()
+
+    def test_mulaw_tick_matches_host_decoded_f32_tick(
+        self, model_and_config
+    ):
+        """stream_step's in-jit μ-law decode: a uint8 tick must produce
+        the same events as an f32 tick carrying the host-decoded
+        samples (decoder twins agree to f32 rounding)."""
+        from cough_detector_tpu.serve import dequantize_mulaw, quantize_mulaw
+
+        variables, cfg = model_and_config
+
+        def make():
+            return StreamingDetector(
+                variables=variables, config=cfg, num_streams=1,
+                chunk_size=CHUNK, confidence_threshold=0.0,
+                smoothing_window=3, debounce_seconds=0.5, mesh=False,
+            )
+
+        wave = synth.synthetic_cough(11, 1.5)
+        n_chunks = wave.size // CHUNK
+        q = quantize_mulaw(wave[: n_chunks * CHUNK]).reshape(n_chunks, CHUNK)
+
+        det_u, det_f = make(), make()
+        evs_u, evs_f = [], []
+        for t in range(n_chunks):
+            evs_u.extend(det_u.collect_events(
+                det_u.tick_async(q[t][None, :])
+            ))
+            evs_f.extend(det_f.collect_events(det_f.tick_async(
+                dequantize_mulaw(q[t][None, :])
+            )))
+        assert evs_u, "fixture should produce detections"
+        assert len(evs_u) == len(evs_f)
+        for a, b in zip(evs_u, evs_f):
+            assert a.time_seconds == b.time_seconds
+            # exp2-based jit decode vs expm1-based host decode: equal to
+            # f32 rounding, so confidences agree far inside 1e-5.
+            assert a.confidence == pytest.approx(b.confidence, abs=1e-5)
+
+    def test_mulaw_confidences_near_exact_f32(self, model_and_config):
+        """Companding is an approximation — bound its effect: smoothed
+        confidences for μ-law-roundtripped audio stay within a few
+        percent of the exact-f32 confidences on the cough fixture."""
+        from cough_detector_tpu.serve import quantize_mulaw
+
+        variables, cfg = model_and_config
+
+        def make():
+            return StreamingDetector(
+                variables=variables, config=cfg, num_streams=1,
+                chunk_size=CHUNK, confidence_threshold=0.0,
+                smoothing_window=3, debounce_seconds=0.5, mesh=False,
+            )
+
+        wave = synth.synthetic_cough(23, 1.5)
+        n = (wave.size // CHUNK) * CHUNK
+        det_u, det_f = make(), make()
+        evs_u = det_u.process_chunk(
+            quantize_mulaw(wave[:n])[None, :]
+        )
+        evs_f = det_f.process_chunk(wave[:n][None, :].astype(np.float32))
+        assert len(evs_u) == len(evs_f) and evs_u
+        for a, b in zip(evs_u, evs_f):
+            assert a.time_seconds == b.time_seconds
+            assert a.confidence == pytest.approx(b.confidence, abs=0.05)
+
+    def test_server_mulaw_end_to_end(self, model_and_config):
+        """A python-backend daemon with h2d_dtype="mulaw" must deliver
+        the events an in-process engine produces for the companded
+        audio (compand on assemble, decode in-jit)."""
+        from cough_detector_tpu.serve import dequantize_mulaw, quantize_mulaw
+
+        variables, cfg = model_and_config
+        wave = np.concatenate([
+            synth.synthetic_cough(7, 1.5),
+            np.zeros(8000, np.float32),
+        ])
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+
+        ref = StreamingDetector(
+            variables=variables, config=cfg, num_streams=1,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=3, debounce_seconds=0.5, mesh=False,
+        )
+        expected = ref.process_chunk(dequantize_mulaw(quantize_mulaw(wave)))
+        assert expected, "fixture should produce detections"
+
+        with _make_server(model_and_config, h2d_dtype="mulaw") as srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                got = c.events(timeout=5.0)
+        assert len(got) == len(expected)
+        for ev, exp in zip(got, expected):
+            assert ev["stream"] == sid
+            assert ev["time"] == pytest.approx(exp.time_seconds, abs=1e-6)
+            assert ev["confidence"] == pytest.approx(
+                exp.confidence, rel=1e-3
+            )
+
+
 class TestIsolationAndRecovery:
     def test_reset_streams_scrubs_only_the_given_lanes(self, model_and_config):
         """Engine-level: reset_streams zeroes the slot's ring buffer,
