@@ -280,7 +280,7 @@ def train(
             f"Device-resident corpus ({corp_mb:.0f} MB int16): one scanned "
             f"XLA program per epoch"
         )
-        train_epoch_fn, eval_epoch_fn = steps.make_epoch_fns(
+        fused_epoch_fn = steps.make_fused_epoch_fn(
             train_features, eval_features
         )
     else:
@@ -387,25 +387,49 @@ def train(
         # whole TPU epoch becomes round-trip-bound).
         t0 = time.perf_counter()
         acc = EpochAccumulator()
+        vacc = EpochAccumulator()
         pending = []
+        host_state = None
         # Epoch-keyed randomness (device AND loader): epoch k's augmentation
         # stream and sample order depend only on (seed, k), so resume
         # replays the exact stream an uninterrupted run saw.
         rng = jax.random.fold_in(base_rng, epoch)
         train_loader.set_epoch(epoch)
         if use_epoch_scan:
-            # One dispatch for the whole epoch; the in-program key chain
-            # splits exactly like the per-batch loop below.
+            # The whole epoch — train scan AND validation pass — is one
+            # fused dispatch, and everything the epoch tail consumes
+            # (both metric sets plus, single-process, the checkpoint
+            # snapshot) comes back in ONE device_get: over the dev
+            # tunnel each round trip costs more than a batch's compute,
+            # so the per-epoch host cost is exactly one dispatch + one
+            # round trip. The scanned bodies and key chain are shared
+            # with the per-batch path below — losses bit-identical.
             d_idx, d_labels, d_mask = put_mats(
                 train_loader.epoch_batches(epoch)
             )
-            state, ms = train_epoch_fn(
+            state, t_ms, v_ms = fused_epoch_fn(
                 state, train_corpus, d_idx, d_labels, d_mask, rng,
-                class_weights,
+                val_corpus, *val_mats, class_weights,
             )
-            ms = jax.device_get(ms)
-            for i in range(len(ms["loss"])):
-                acc.update({k: v[i] for k, v in ms.items()})
+            if async_saves:
+                # Drain BEFORE snapshotting: at most one epoch's saves
+                # in flight, failures surface here (same order as the
+                # streamed path's checkpoint section).
+                ckpt.drain_pending_saves()
+                t_ms, v_ms, host_state = jax.device_get(
+                    (t_ms, v_ms, state)
+                )
+            else:
+                t_ms, v_ms = jax.device_get((t_ms, v_ms))
+            for i in range(len(t_ms["loss"])):
+                acc.update({k: v[i] for k, v in t_ms.items()})
+            for i in range(len(v_ms["loss"])):
+                vacc.update({k: v[i] for k, v in v_ms.items()})
+            train_m = acc.summary()
+            val_m = vacc.summary()
+            # One fused window: both rates denominate over it (the val
+            # pass is not separately timeable inside one program).
+            train_time = val_time = time.perf_counter() - t0
         else:
             for waves, labels, m_mask in _device_prefetch(
                 train_loader, put_train
@@ -421,19 +445,11 @@ def train(
                 pending.append(m)
             for m in jax.device_get(pending):
                 acc.update(m)
-        train_m = acc.summary()
-        train_time = time.perf_counter() - t0
+            train_m = acc.summary()
+            train_time = time.perf_counter() - t0
 
-        # ---- validate ----
-        t0 = time.perf_counter()
-        vacc = EpochAccumulator()
-        if use_epoch_scan:
-            ms = jax.device_get(
-                eval_epoch_fn(state, val_corpus, *val_mats, class_weights)
-            )
-            for i in range(len(ms["loss"])):
-                vacc.update({k: v[i] for k, v in ms.items()})
-        else:
+            # ---- validate ----
+            t0 = time.perf_counter()
             pending = [
                 eval_step(state, waves, labels, class_weights, mask=m_mask)
                 for waves, labels, m_mask in _device_prefetch(
@@ -442,8 +458,8 @@ def train(
             ]
             for m in jax.device_get(pending):
                 vacc.update(m)
-        val_m = vacc.summary()
-        val_time = time.perf_counter() - t0
+            val_m = vacc.summary()
+            val_time = time.perf_counter() - t0
 
         record = {
             "epoch": epoch,
@@ -485,9 +501,9 @@ def train(
         # Drain last epoch's background writes (normally already landed —
         # they had a whole epoch to commit) so failures surface here and
         # at most one epoch's saves are ever in flight; then snapshot the
-        # state ONCE for this epoch's save pair.
-        host_state = None
-        if async_saves:
+        # state ONCE for this epoch's save pair. (The fused epoch-scan
+        # path drained and snapshotted inside its single device_get.)
+        if async_saves and host_state is None:
             ckpt.drain_pending_saves()
             host_state = jax.device_get(state)
         if val_m["f1"] > best_f1:

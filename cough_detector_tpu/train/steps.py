@@ -295,6 +295,40 @@ def eval_epoch_scan(
     return metrics
 
 
+def train_and_eval_epoch_scan(
+    state: TrainState,
+    train_corpus: jnp.ndarray,
+    idx_mat: jnp.ndarray,
+    labels_mat: jnp.ndarray,
+    mask_mat: jnp.ndarray,
+    rng: jax.Array,
+    val_corpus: jnp.ndarray,
+    val_idx: jnp.ndarray,
+    val_labels: jnp.ndarray,
+    val_mask: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    train_feature_fn: Callable,
+    eval_feature_fn: Callable,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """One epoch's train scan + validation pass FUSED into a single XLA
+    program: over a dev tunnel whose per-dispatch round trip exceeds a
+    whole batch's compute, separate train/val dispatches (plus a fetch
+    between them) dominate the end-to-end epoch wall — fusing them (and
+    fetching train metrics, val metrics and the checkpoint snapshot in
+    ONE device_get at the call site) leaves exactly one dispatch and one
+    round trip per epoch. The scanned bodies are shared with the
+    unfused programs, so loss trajectories stay bit-identical."""
+    state, train_ms = train_epoch_scan(
+        state, train_corpus, idx_mat, labels_mat, mask_mat, rng,
+        class_weights, feature_fn=train_feature_fn,
+    )
+    val_ms = eval_epoch_scan(
+        state, val_corpus, val_idx, val_labels, val_mask, class_weights,
+        feature_fn=eval_feature_fn,
+    )
+    return state, train_ms, val_ms
+
+
 def make_epoch_fns(
     train_feature_fn: Callable, eval_feature_fn: Callable
 ) -> Tuple[Callable, Callable]:
@@ -306,3 +340,16 @@ def make_epoch_fns(
         functools.partial(eval_epoch_scan, feature_fn=eval_feature_fn)
     )
     return train_fn, eval_fn
+
+
+def make_fused_epoch_fn(
+    train_feature_fn: Callable, eval_feature_fn: Callable
+) -> Callable:
+    return jax.jit(
+        functools.partial(
+            train_and_eval_epoch_scan,
+            train_feature_fn=train_feature_fn,
+            eval_feature_fn=eval_feature_fn,
+        ),
+        donate_argnums=(0,),
+    )
