@@ -215,6 +215,7 @@ def daemon_bench(
     backend: str = "python",
     loadgen: str = "python",
     h2d_dtype: str = "float32",
+    uplink_s: float = None,
 ) -> dict:
     """Benchmark the SOCKET serving tier end-to-end (serve/server.py) —
     not the in-process engine: M loopback DetectionClient PROCESSES feed
@@ -261,7 +262,17 @@ def daemon_bench(
         h2d_dtype=h2d_dtype,
     )
     tick_s = chunk / cfg.features.sample_rate
-    n_frames = int(round(seconds / tick_s))
+    # Client uplink pacing. Default: one wire frame per server tick
+    # (100 ms — live-mic-shaped load). `uplink_s` sends LARGER frames
+    # less often at the same bandwidth (batched-uplink clients, e.g.
+    # 0.4 s) — the server still ticks every 100 ms and buffers per
+    # slot; event latency grows by up to one uplink frame. On this
+    # single-core host the per-frame cost of generators + epoll ingest
+    # is what saturates first past ~2k streams, so the batched row
+    # measures the daemon's capacity rather than the harness's.
+    u_s = tick_s if uplink_s is None else float(uplink_s)
+    u_chunk = int(round(u_s * cfg.features.sample_rate))
+    n_frames = int(round(seconds / u_s))
     repo = os.path.dirname(os.path.abspath(__file__))
     boot = _CLIENT_BOOT.format(repo=repo)
 
@@ -274,7 +285,7 @@ def daemon_bench(
             raise RuntimeError("native loadgen needs g++ (not in PATH)")
         # The exact clip+cycle the Python generator feeds, as raw f32le.
         clip = np.resize(
-            synth.synthetic_cough(3, 2.0), chunk * (n_frames + 1)
+            synth.synthetic_cough(3, 2.0), u_chunk * (n_frames + 1)
         ).astype(np.float32)
         fd_, clip_path = tempfile.mkstemp(suffix=".f32")
         with os.fdopen(fd_, "wb") as fh:
@@ -283,10 +294,10 @@ def daemon_bench(
     def spawn(m: int) -> "subprocess.Popen":
         if loadgen == "native":
             cmd = [binary, host, str(port), str(m), str(n_frames),
-                   str(int(round(tick_s * 1e6))), str(chunk), clip_path]
+                   str(int(round(u_s * 1e6))), str(u_chunk), clip_path]
         else:
             cmd = [sys.executable, "-c", boot, host, str(port), str(m),
-                   str(n_frames), repr(tick_s), str(chunk)]
+                   str(n_frames), repr(u_s), str(u_chunk)]
         return subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
         )
@@ -356,6 +367,7 @@ def daemon_bench(
         "h2d_dtype": h2d_dtype,
         "num_streams": num_streams,
         "n_clients": n_clients,
+        "uplink_frame_s": round(u_s, 3),
         "seconds": round(elapsed, 1),
         "ticks": timed_ticks,
         "tick_budget_ms": round(tick_s * 1e3, 1),
@@ -465,6 +477,9 @@ if __name__ == "__main__":
     h2d = "float32"
     if "--h2d" in sys.argv:
         h2d = sys.argv[sys.argv.index("--h2d") + 1]
+    uplink = None
+    if "--uplink" in sys.argv:
+        uplink = float(sys.argv[sys.argv.index("--uplink") + 1])
     if "--daemon-ramp" in sys.argv:
         # Host-side ceiling of the socket tier: ramp stream counts until
         # the timer loop misses cadence or slots overflow. Every row is a
@@ -472,7 +487,7 @@ if __name__ == "__main__":
         for s in (512, 1024, 2048, 4096, 8192):
             rec = daemon_bench(num_streams=s, seconds=20.0,
                                backend=backend, loadgen=loadgen,
-                               h2d_dtype=h2d)
+                               h2d_dtype=h2d, uplink_s=uplink)
             if not rec["realtime_at_this_count"]:
                 break
     elif "--daemon" in sys.argv:
@@ -486,7 +501,8 @@ if __name__ == "__main__":
         if "--seconds" in sys.argv:
             secs = float(sys.argv[sys.argv.index("--seconds") + 1])
         daemon_bench(num_streams=n, n_clients=m, seconds=secs,
-                     backend=backend, loadgen=loadgen, h2d_dtype=h2d)
+                     backend=backend, loadgen=loadgen, h2d_dtype=h2d,
+                     uplink_s=uplink)
     elif "--serving-sweep" in sys.argv:
         # Measured capacity curve (VERDICT r1 §next-6): every point is a
         # real run at that stream count, not arithmetic from a smaller one.
