@@ -613,6 +613,117 @@ class TestMulawQuarterBandwidthIngest:
             )
 
 
+class TestNativeIngestWireFuzz:
+    """Adversarial bytes against the C++ wire parser (cdt_ingest.cpp):
+    seeded random garbage, truncated headers, oversized length fields
+    and handshake churn must never crash the epoll thread, leak slots,
+    or disturb a healthy tenant sharing the plane."""
+
+    def _plane(self, n=2):
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        return native_ingest.NativeIngest(
+            "127.0.0.1", 0, num_streams=n, chunk=CHUNK,
+            buffer_cap=4 * CHUNK,
+        )
+
+    def test_garbage_floods_sever_only_the_offender(self):
+        import socket as socketlib
+        import struct
+
+        from cough_detector_tpu.serve import protocol
+
+        ing = self._plane()
+        try:
+            good = socketlib.create_connection(ing.address)
+            good.sendall(protocol.encode(protocol.OPEN))
+            fr = protocol.read_frame(good)
+            assert fr is not None and fr.type == protocol.OPENED
+            sid = fr.stream
+
+            rng = np.random.default_rng(17)
+            for _ in range(8):
+                bad = socketlib.create_connection(ing.address)
+                blob = rng.integers(
+                    0, 256, int(rng.integers(1, 5000)), dtype=np.uint8
+                ).tobytes()
+                try:
+                    bad.sendall(blob)
+                    bad.settimeout(2.0)
+                    bad.recv(4096)  # ERROR or empty (severed)
+                except OSError:
+                    pass
+                bad.close()
+            # Oversized length field on a valid header: must sever, not
+            # allocate 1 GiB.
+            bad = socketlib.create_connection(ing.address)
+            bad.sendall(struct.pack(
+                "<HBBII", 0x0CD7, protocol.AUDIO, 0, sid, 1 << 30
+            ))
+            bad.settimeout(2.0)
+            try:
+                bad.recv(4096)
+            except OSError:
+                pass
+            bad.close()
+
+            # The healthy tenant still streams: its audio lands in the
+            # next assemble untouched.
+            wave = np.linspace(-0.5, 0.5, CHUNK).astype(np.float32)
+            good.sendall(protocol.encode_audio(sid, wave))
+            assert _wait(
+                lambda: bool(ing.granted())
+                or ing.stats()["open_streams"] == 1,
+                timeout=5.0,
+            )
+            time.sleep(0.5)
+            dst = np.zeros((2, CHUNK), np.float32)
+            assert ing.assemble(dst) == 1
+            np.testing.assert_array_equal(dst[sid], wave)
+            good.close()
+        finally:
+            ing.stop()
+
+    def test_truncated_header_churn_leaks_nothing(self):
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import protocol
+
+        ing = self._plane()
+        try:
+            for i in range(32):
+                c = socketlib.create_connection(ing.address)
+                # A header cut mid-field, then an abrupt disconnect.
+                c.sendall(b"\xd7\x0c\x01")
+                c.close()
+            # Open/close churn on the REAL handshake: every slot must
+            # return to the pool.
+            for i in range(8):
+                c = socketlib.create_connection(ing.address)
+                c.sendall(protocol.encode(protocol.OPEN))
+                fr = protocol.read_frame(c)
+                assert fr is not None and fr.type == protocol.OPENED
+                c.close()
+            ing.granted()  # drain grant queue (activation is irrelevant)
+            assert _wait(
+                lambda: ing.stats()["open_streams"] == 0, timeout=5.0
+            )
+            # Pool intact: both slots still grantable.
+            c1 = socketlib.create_connection(ing.address)
+            c1.sendall(protocol.encode(protocol.OPEN))
+            c2 = socketlib.create_connection(ing.address)
+            c2.sendall(protocol.encode(protocol.OPEN))
+            f1, f2 = protocol.read_frame(c1), protocol.read_frame(c2)
+            assert {f1.type, f2.type} == {protocol.OPENED}
+            assert f1.stream != f2.stream
+            c1.close()
+            c2.close()
+        finally:
+            ing.stop()
+
+
 class TestIsolationAndRecovery:
     def test_reset_streams_scrubs_only_the_given_lanes(self, model_and_config):
         """Engine-level: reset_streams zeroes the slot's ring buffer,
