@@ -365,7 +365,7 @@ def train(
     # concurrently with the training collectives.
     async_saves = jax.process_count() == 1
 
-    def save(name, metrics_dict, extra=None, snapshot=None):
+    def save(name, metrics_dict, ep, extra=None, snapshot=None):
         """Checkpoint write. Multi-process: EVERY rank calls into Orbax at
         the same program point (its save runs an internal cross-process
         barrier — a rank-0-only call desynchronizes the ranks' collective
@@ -375,94 +375,21 @@ def train(
         meta.json."""
         ckpt.save_checkpoint(
             output_dir, name, snapshot if snapshot is not None else state,
-            epoch, metrics_dict, config,
+            ep, metrics_dict, config,
             extra=extra, write_meta=is_main, block=not async_saves,
         )
 
     loop_t0 = time.perf_counter()
-    for epoch in range(start_epoch, epochs):
-        # ---- train ----
-        # Metrics stay on device until epoch end: a float() per batch would
-        # force a host sync per step and serialize dispatch (measured: the
-        # whole TPU epoch becomes round-trip-bound).
-        t0 = time.perf_counter()
-        acc = EpochAccumulator()
-        vacc = EpochAccumulator()
-        pending = []
-        host_state = None
-        # Epoch-keyed randomness (device AND loader): epoch k's augmentation
-        # stream and sample order depend only on (seed, k), so resume
-        # replays the exact stream an uninterrupted run saw.
-        rng = jax.random.fold_in(base_rng, epoch)
-        train_loader.set_epoch(epoch)
-        if use_epoch_scan:
-            # The whole epoch — train scan AND validation pass — is one
-            # fused dispatch, and everything the epoch tail consumes
-            # (both metric sets plus, single-process, the checkpoint
-            # snapshot) comes back in ONE device_get: over the dev
-            # tunnel each round trip costs more than a batch's compute,
-            # so the per-epoch host cost is exactly one dispatch + one
-            # round trip. The scanned bodies and key chain are shared
-            # with the per-batch path below — losses bit-identical.
-            d_idx, d_labels, d_mask = put_mats(
-                train_loader.epoch_batches(epoch)
-            )
-            state, t_ms, v_ms = fused_epoch_fn(
-                state, train_corpus, d_idx, d_labels, d_mask, rng,
-                val_corpus, *val_mats, class_weights,
-            )
-            if async_saves:
-                # Drain BEFORE snapshotting: at most one epoch's saves
-                # in flight, failures surface here (same order as the
-                # streamed path's checkpoint section).
-                ckpt.drain_pending_saves()
-                t_ms, v_ms, host_state = jax.device_get(
-                    (t_ms, v_ms, state)
-                )
-            else:
-                t_ms, v_ms = jax.device_get((t_ms, v_ms))
-            for i in range(len(t_ms["loss"])):
-                acc.update({k: v[i] for k, v in t_ms.items()})
-            for i in range(len(v_ms["loss"])):
-                vacc.update({k: v[i] for k, v in v_ms.items()})
-            train_m = acc.summary()
-            val_m = vacc.summary()
-            # One fused window: both rates denominate over it (the val
-            # pass is not separately timeable inside one program).
-            train_time = val_time = time.perf_counter() - t0
-        else:
-            for waves, labels, m_mask in _device_prefetch(
-                train_loader, put_train
-            ):
-                # Independent keys for augmentation and dropout — passing
-                # one key both directly and through a split would correlate
-                # the two noise sources.
-                rng, aug_key, dropout_key = jax.random.split(rng, 3)
-                state, m = train_step(
-                    state, (waves, aug_key), labels, dropout_key,
-                    class_weights, mask=m_mask,
-                )
-                pending.append(m)
-            for m in jax.device_get(pending):
-                acc.update(m)
-            train_m = acc.summary()
-            train_time = time.perf_counter() - t0
 
-            # ---- validate ----
-            t0 = time.perf_counter()
-            pending = [
-                eval_step(state, waves, labels, class_weights, mask=m_mask)
-                for waves, labels, m_mask in _device_prefetch(
-                    val_loader, put_eval
-                )
-            ]
-            for m in jax.device_get(pending):
-                vacc.update(m)
-            val_m = vacc.summary()
-            val_time = time.perf_counter() - t0
-
+    def epoch_tail(ep, acc, vacc, train_time, val_time, host_state) -> bool:
+        """Shared per-epoch tail for both input paths: JSONL record,
+        console line, early-stop advance, best/latest checkpoint pair.
+        Returns True when early stopping fires at epoch `ep`."""
+        nonlocal best_f1
+        train_m = acc.summary()
+        val_m = vacc.summary()
         record = {
-            "epoch": epoch,
+            "epoch": ep,
             "train_loss": train_m["loss"],
             "train_acc": train_m["accuracy"],
             "val_loss": val_m["loss"],
@@ -478,7 +405,8 @@ def train(
             # between consecutive records is the true end-to-end epoch
             # cost (train + val + metric fetches + the previous epoch's
             # checkpoint writes — train_clips_per_sec alone excludes
-            # epoch-end host work by construction).
+            # epoch-end host work by construction, and in the pipelined
+            # scan mode its window overlaps the next epoch's dispatch).
             "wall_s": round(time.perf_counter() - loop_t0, 3),
         }
         if metrics_log is not None:
@@ -486,7 +414,7 @@ def train(
             metrics_log.flush()
         if is_main:
             print(
-                f"Epoch {epoch}: train loss {train_m['loss']:.4f} "
+                f"Epoch {ep}: train loss {train_m['loss']:.4f} "
                 f"acc {train_m['accuracy']:.2f}% | val loss {val_m['loss']:.4f} "
                 f"acc {val_m['accuracy']:.2f}% P {val_m['precision']:.4f} "
                 f"R {val_m['recall']:.4f} F1 {val_m['f1']:.4f} | "
@@ -502,17 +430,18 @@ def train(
         # they had a whole epoch to commit) so failures surface here and
         # at most one epoch's saves are ever in flight; then snapshot the
         # state ONCE for this epoch's save pair. (The fused epoch-scan
-        # path drained and snapshotted inside its single device_get.)
+        # path drained and snapshotted inside its single device_get
+        # before calling here.)
         if async_saves and host_state is None:
             ckpt.drain_pending_saves()
             host_state = jax.device_get(state)
         if val_m["f1"] > best_f1:
             best_f1 = val_m["f1"]
-            save("best_model", val_m, snapshot=host_state)
+            save("best_model", val_m, ep, snapshot=host_state)
             if is_main:
                 print(f"  Saved best model (F1: {best_f1:.4f})")
         save(
-            "latest_model", val_m,
+            "latest_model", val_m, ep,
             extra={
                 "early_stop": {
                     "best_loss": early.best_loss,
@@ -521,11 +450,118 @@ def train(
             },
             snapshot=host_state,
         )
+        if stop and is_main:
+            print(f"Early stopping at epoch {ep}")
+        return stop
 
-        if stop:
-            if is_main:
-                print(f"Early stopping at epoch {epoch}")
-            break
+    if use_epoch_scan:
+        # The whole epoch — train scan AND validation pass — is one fused
+        # dispatch, and everything the epoch tail consumes (both metric
+        # sets plus, single-process, the checkpoint snapshot) comes back
+        # in ONE device_get. Single-process runs PIPELINED: epoch e+1 is
+        # dispatched BEFORE epoch e's results are fetched, so the fetch
+        # round trip, JSONL write and checkpoint submission all overlap
+        # e+1's device execution — the loop's steady-state epoch wall is
+        # max(device epoch, host tail), not their sum. This requires the
+        # fused program NOT to donate its input state (epoch e's output
+        # must stay fetchable after it was fed to e+1), which costs one
+        # extra state copy in HBM (~MBs for these models). The scanned
+        # bodies and key chain are shared with the per-batch path —
+        # losses bit-identical; checkpoint cadence, early-stop decisions
+        # and resume behavior are unchanged (early stop is decided from
+        # epoch e's fetched metrics; a dispatched e+1 is simply
+        # discarded). Multi-process stays synchronous: every rank must
+        # reach its Orbax barrier at the same program point.
+        def finish(ep, t0, st, t_ms, v_ms) -> bool:
+            if async_saves:
+                ckpt.drain_pending_saves()
+                t_ms, v_ms, host_state = jax.device_get((t_ms, v_ms, st))
+            else:
+                t_ms, v_ms = jax.device_get((t_ms, v_ms))
+                host_state = None
+            acc = EpochAccumulator()
+            vacc = EpochAccumulator()
+            for i in range(len(t_ms["loss"])):
+                acc.update({k: v[i] for k, v in t_ms.items()})
+            for i in range(len(v_ms["loss"])):
+                vacc.update({k: v[i] for k, v in v_ms.items()})
+            # One fused window: both rates denominate over it (the val
+            # pass is not separately timeable inside one program).
+            w = time.perf_counter() - t0
+            return epoch_tail(ep, acc, vacc, w, w, host_state)
+
+        inflight = None
+        stopped = False
+        for epoch in range(start_epoch, epochs):
+            # Epoch-keyed randomness (device AND loader): epoch k's
+            # augmentation stream and sample order depend only on
+            # (seed, k), so resume replays the exact stream an
+            # uninterrupted run saw.
+            rng = jax.random.fold_in(base_rng, epoch)
+            train_loader.set_epoch(epoch)
+            d_idx, d_labels, d_mask = put_mats(
+                train_loader.epoch_batches(epoch)
+            )
+            t0 = time.perf_counter()
+            state, t_ms, v_ms = fused_epoch_fn(
+                state, train_corpus, d_idx, d_labels, d_mask, rng,
+                val_corpus, *val_mats, class_weights,
+            )
+            cur = (epoch, t0, state, t_ms, v_ms)
+            if not async_saves:
+                if finish(*cur):
+                    stopped = True
+                    break
+            else:
+                if inflight is not None and finish(*inflight):
+                    inflight = None
+                    stopped = True
+                    break
+                inflight = cur
+        if inflight is not None and not stopped:
+            finish(*inflight)
+    else:
+        for epoch in range(start_epoch, epochs):
+            # ---- train ----
+            # Metrics stay on device until epoch end: a float() per batch
+            # would force a host sync per step and serialize dispatch
+            # (measured: the whole TPU epoch becomes round-trip-bound).
+            t0 = time.perf_counter()
+            acc = EpochAccumulator()
+            vacc = EpochAccumulator()
+            pending = []
+            rng = jax.random.fold_in(base_rng, epoch)
+            train_loader.set_epoch(epoch)
+            for waves, labels, m_mask in _device_prefetch(
+                train_loader, put_train
+            ):
+                # Independent keys for augmentation and dropout — passing
+                # one key both directly and through a split would correlate
+                # the two noise sources.
+                rng, aug_key, dropout_key = jax.random.split(rng, 3)
+                state, m = train_step(
+                    state, (waves, aug_key), labels, dropout_key,
+                    class_weights, mask=m_mask,
+                )
+                pending.append(m)
+            for m in jax.device_get(pending):
+                acc.update(m)
+            train_time = time.perf_counter() - t0
+
+            # ---- validate ----
+            t0 = time.perf_counter()
+            pending = [
+                eval_step(state, waves, labels, class_weights, mask=m_mask)
+                for waves, labels, m_mask in _device_prefetch(
+                    val_loader, put_eval
+                )
+            ]
+            for m in jax.device_get(pending):
+                vacc.update(m)
+            val_time = time.perf_counter() - t0
+
+            if epoch_tail(epoch, acc, vacc, train_time, val_time, None):
+                break
 
     if metrics_log is not None:
         metrics_log.close()

@@ -345,11 +345,14 @@ def make_epoch_fns(
 def make_fused_epoch_fn(
     train_feature_fn: Callable, eval_feature_fn: Callable
 ) -> Callable:
+    # No state donation: the train loop PIPELINES epochs (dispatch e+1
+    # before fetching e's results), so epoch e's output state must stay
+    # fetchable after it has been fed to e+1 — donation would delete it
+    # at e+1's dispatch. Costs one extra state copy in HBM (~MBs).
     return jax.jit(
         functools.partial(
             train_and_eval_epoch_scan,
             train_feature_fn=train_feature_fn,
             eval_feature_fn=eval_feature_fn,
-        ),
-        donate_argnums=(0,),
+        )
     )
