@@ -1,6 +1,6 @@
 """Model evaluation CLI.
 
-Two modes, covering both of the reference's quality procedures:
+Three modes, covering the reference's quality procedures end to end:
 
 1. Dataset metrics (default): the reference's validate() pass — loss,
    accuracy, precision/recall/F1 and the confusion matrix over a labeled
@@ -9,6 +9,12 @@ Two modes, covering both of the reference's quality procedures:
    never automates (reference: IMPROVEMENT_PLAN.md:199-216, 316-324):
    false-positives-per-minute on synthetic silence and speech-like audio,
    and detection rate on synthetic coughs, through the streaming detector.
+3. --calibrate: the reference's manual "threshold tuning" step
+   (IMPROVEMENT_PLAN.md:210-216) as a measured sweep — scenarios are
+   scored once, the engine's threshold+debounce rule is replayed across
+   0.05..0.95, and the CLI reports the operating band meeting all three
+   targets plus a recommended threshold. A self-check pins the replay to
+   the live engine before any sweep number is printed.
 """
 
 from __future__ import annotations
@@ -27,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--behavioral", action="store_true",
                    help="Run the synthetic behavioral protocol instead")
+    p.add_argument("--calibrate", action="store_true",
+                   help="Sweep detection thresholds over the behavioral "
+                        "scenarios and report the operating band meeting "
+                        "all targets + a recommended threshold "
+                        "(reference: IMPROVEMENT_PLAN.md:210-216)")
     p.add_argument("--single-device", action="store_true",
                    help="Force single-device eval (default shards the "
                         "batch over all visible chips)")
@@ -144,34 +155,26 @@ def match_detections(det_times, event_starts, span: float = 3.0):
     return matched, spurious
 
 
-def _behavioral_eval(args) -> None:
+def _scenario_signals(seed: int, minutes: float):
+    """The three behavioral scenarios (reference protocol:
+    IMPROVEMENT_PLAN.md:199-216): (silence, speech, (coughs, starts)).
+    Shared by --behavioral (single-threshold check) and --calibrate
+    (threshold sweep)."""
     import numpy as np
 
     from ..data import synth
-    from ..stream import StreamingDetector
+    from ..data.audio_io import resample_np
 
-    det = StreamingDetector(
-        args.model, num_streams=1, chunk_size=1600,
-        confidence_threshold=args.threshold, smoothing_window=3,
-        debounce_seconds=0.5,
-    )
     sr = 16000
-    seconds = int(args.minutes * 60)
-    rng = np.random.default_rng(args.seed)
-
-    def run(signal: np.ndarray) -> int:
-        det.reset()
-        return len(det.process_chunk(signal[None, :]))
+    seconds = int(minutes * 60)
+    rng = np.random.default_rng(seed)
 
     # Scenario 1: silence (target: 0 FP/min, IMPROVEMENT_PLAN.md:320)
     silence = (rng.standard_normal(seconds * sr) * 1e-4).astype(np.float32)
-    fp_silence = run(silence) / args.minutes
 
     # Scenario 2: speech-like babble (target <1 FP/min, :321) — amplitude-
     # modulated band-limited noise approximating speech rhythm. Band-limit
     # to ~4 kHz (speech band) by resampling down and back up.
-    from ..data.audio_io import resample_np
-
     t = np.arange(seconds * sr) / sr
     envelope = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))  # ~3 Hz syllables
     carrier = rng.standard_normal(seconds * sr).astype(np.float32)
@@ -181,20 +184,44 @@ def _behavioral_eval(args) -> None:
     speech = (envelope[: len(band_limited)] * band_limited * 0.1).astype(
         np.float32
     )
-    fp_speech = run(speech) / args.minutes
+    if len(speech) < seconds * sr:
+        speech = np.pad(speech, (0, seconds * sr - len(speech)))
 
     # Scenario 3: coughs every ~5 s (target >80% detection, :322).
+    n_coughs = seconds // 5
+    coughs = (rng.standard_normal(seconds * sr) * 1e-3).astype(np.float32)
+    starts = []
+    for i in range(n_coughs):
+        c = synth.synthetic_cough(seed + i, 2.0)
+        start = i * 5 * sr
+        coughs[start : start + len(c)] += c
+        starts.append(start / sr)
+    return silence, speech, (coughs, starts)
+
+
+def _behavioral_eval(args) -> None:
+    from ..stream import StreamingDetector
+
+    det = StreamingDetector(
+        args.model, num_streams=1, chunk_size=1600,
+        confidence_threshold=args.threshold, smoothing_window=3,
+        debounce_seconds=0.5,
+    )
+    silence, speech, (signal, starts) = _scenario_signals(
+        args.seed, args.minutes
+    )
+    n_coughs = len(starts)
+
+    def run(sig) -> int:
+        det.reset()
+        return len(det.process_chunk(sig[None, :]))
+
+    fp_silence = run(silence) / args.minutes
+    fp_speech = run(speech) / args.minutes
+
     # Detections are MATCHED to the known insertion windows — a
     # double-fire on one cough can't mask a miss elsewhere, and off-window
     # fires count as spurious, not as detections (match_detections).
-    n_coughs = seconds // 5
-    signal = (rng.standard_normal(seconds * sr) * 1e-3).astype(np.float32)
-    starts = []
-    for i in range(n_coughs):
-        c = synth.synthetic_cough(args.seed + i, 2.0)
-        start = i * 5 * sr
-        signal[start : start + len(c)] += c
-        starts.append(start / sr)
     det.reset()
     events = det.process_chunk(signal[None, :])
     matched, spurious = match_detections(
@@ -221,9 +248,134 @@ def _behavioral_eval(args) -> None:
     )
 
 
+def _replay_events(smoothed, thr, debounce_windows, hop, window, sr):
+    """Replay the engine's fire rule over a smoothed-confidence series:
+    window i fires iff smoothed[i] >= thr and i - last_fire >=
+    debounce_windows (stream/ring.py step 4, integer-window arithmetic).
+    Returns event times in seconds."""
+    times = []
+    last = -(1 << 24)
+    for i, s in enumerate(smoothed):
+        if s >= thr and i - last >= debounce_windows:
+            last = i
+            times.append((i * hop + window) / sr)
+    return times
+
+
+def _calibrate(args) -> None:
+    """Threshold calibration: operationalize the reference's manual
+    'threshold tuning' step (IMPROVEMENT_PLAN.md:210-216). Scores each
+    behavioral scenario ONCE (confidences are threshold-independent),
+    then replays the engine's threshold+debounce rule across a sweep and
+    reports the operating band meeting all three targets — 0 FP/min on
+    silence, <1 FP/min on speech, >80 % matched detection — plus a
+    recommended threshold (the passing band's midpoint). A self-check
+    asserts the replay reproduces the live engine's event count at
+    --threshold before any sweep number is trusted."""
+    import numpy as np
+
+    from ..stream import StreamingDetector
+
+    det = StreamingDetector(
+        args.model, num_streams=1, chunk_size=1600,
+        confidence_threshold=args.threshold, smoothing_window=3,
+        debounce_seconds=0.5,
+    )
+    sr = det.config.features.sample_rate
+    window = det.window_samples
+    hop = int(sr * det.stream_config.hop_duration)
+    W = det.stream_config.smoothing_window
+    debounce_windows = -(-int(round(0.5 * sr)) // hop)
+
+    silence, speech, (coughs, starts) = _scenario_signals(
+        args.seed, args.minutes
+    )
+    n_coughs = len(starts)
+
+    def smoothed_series(signal):
+        n_win = (len(signal) - window) // hop + 1
+        wins = np.stack(
+            [signal[i * hop : i * hop + window] for i in range(n_win)]
+        )
+        probs = np.concatenate([
+            det.scores_for(wins[i : i + 256])
+            for i in range(0, n_win, 256)
+        ])
+        # Trailing mean over the last min(i+1, W) windows — the per-lane
+        # deque semantics of stream/ring.py step 3.
+        return np.array([
+            probs[max(0, i - W + 1) : i + 1].mean() for i in range(n_win)
+        ])
+
+    series = {
+        "silence": smoothed_series(silence),
+        "speech": smoothed_series(speech),
+        "coughs": smoothed_series(coughs),
+    }
+
+    # Self-check: the replay must reproduce the LIVE engine at the CLI
+    # threshold on every scenario before any sweep number is trusted.
+    for name, sig in (
+        ("silence", silence), ("speech", speech), ("coughs", coughs)
+    ):
+        det.reset()
+        live = det.process_chunk(sig[None, :])
+        replayed = _replay_events(
+            series[name], args.threshold, debounce_windows, hop, window, sr
+        )
+        assert len(live) == len(replayed), (
+            f"replay self-check failed on {name}: engine {len(live)} "
+            f"events vs replay {len(replayed)}"
+        )
+
+    sweep = []
+    for thr in np.round(np.arange(0.05, 0.96, 0.05), 2):
+        fp_sil = len(_replay_events(
+            series["silence"], thr, debounce_windows, hop, window, sr
+        )) / args.minutes
+        fp_sp = len(_replay_events(
+            series["speech"], thr, debounce_windows, hop, window, sr
+        )) / args.minutes
+        matched, spurious = match_detections(
+            _replay_events(
+                series["coughs"], thr, debounce_windows, hop, window, sr
+            ),
+            starts,
+        )
+        rate = len(matched) / max(n_coughs, 1)
+        sweep.append({
+            "threshold": float(thr),
+            "fp_per_min_silence": fp_sil,
+            "fp_per_min_speech": fp_sp,
+            "cough_detection_rate": rate,
+            "spurious_on_coughs": spurious,
+            "passes": bool(fp_sil == 0.0 and fp_sp < 1.0 and rate > 0.8),
+        })
+
+    passing = [r["threshold"] for r in sweep if r["passes"]]
+    band = [min(passing), max(passing)] if passing else None
+    recommended = (
+        round((band[0] + band[1]) / 2, 2) if band is not None else None
+    )
+    print(json.dumps({
+        "sweep": sweep,
+        "passing_band": band,
+        "recommended_threshold": recommended,
+        "self_check": "replay == live engine at "
+                      f"threshold {args.threshold}",
+        "targets": {
+            "fp_per_min_silence": 0.0,
+            "fp_per_min_speech": "<1",
+            "cough_detection_rate": ">0.8",
+        },
+    }))
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    if args.behavioral:
+    if args.calibrate:
+        _calibrate(args)
+    elif args.behavioral:
         _behavioral_eval(args)
     else:
         if not args.data_dir:

@@ -204,6 +204,40 @@ class TestEvaluate:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "fp_per_min_silence" in rec and "cough_detection_rate" in rec
 
+    def test_calibrate_mode(self, data_dir, tmp_path, capsys):
+        """--calibrate sweeps thresholds over the behavioral scenarios.
+        The in-CLI self-check (replayed threshold+debounce rule must
+        reproduce the live engine's event counts at --threshold) runs
+        before any sweep number is printed, so a passing run certifies
+        replay fidelity too."""
+        from cough_detector_tpu.cli import evaluate, train as tcli
+
+        out = tmp_path / "ck3"
+        tcli.main([
+            "--data-dir", str(data_dir), "--output-dir", str(out),
+            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
+            "--no-esc50", "--num-workers", "2",
+        ])
+        capsys.readouterr()
+        evaluate.main([
+            "--model", str(out / "latest_model"), "--calibrate",
+            "--minutes", "0.1", "--threshold", "0.5",
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(rec["sweep"]) == 19
+        for row in rec["sweep"]:
+            assert set(row) >= {
+                "threshold", "fp_per_min_silence", "fp_per_min_speech",
+                "cough_detection_rate", "passes",
+            }
+        # Monotonicity of the replay: FP counts never increase as the
+        # threshold rises.
+        sils = [r["fp_per_min_silence"] for r in rec["sweep"]]
+        assert all(a >= b for a, b in zip(sils, sils[1:]))
+        if rec["passing_band"] is not None:
+            lo, hi = rec["passing_band"]
+            assert lo <= rec["recommended_threshold"] <= hi
+
 
 class TestExtractSegments:
     """The curation tool the reference only sketched
