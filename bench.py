@@ -207,6 +207,17 @@ def _ensure_loadgen():
     return out
 
 
+def _rss_kb() -> int:
+    """Resident set size of this process in KiB (soak-run leak probe:
+    the server's slot rings, delivery queues and C++ plane buffers are
+    all bounded, so RSS must plateau over a long run)."""
+    with open("/proc/self/status") as fh:
+        for line in fh:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1])
+    return -1
+
+
 def daemon_bench(
     num_streams: int = 256,
     n_clients: int = 8,
@@ -327,6 +338,7 @@ def daemon_bench(
             # dispatches are the real-time failure signal; delivery
             # health shows in the lag percentiles and tick counts.
             d0 = server.stats()["dispatched"]
+            rss0 = _rss_kb()
             t_start = time.monotonic()
             for p in procs:
                 p.stdin.write("GO\n")
@@ -349,6 +361,7 @@ def daemon_bench(
                         if len(parts) >= 4:
                             max_late = max(max_late, float(parts[3]))
             stats = server.stats()
+            rss1 = _rss_kb()
     finally:
         # The clip tempfile must not outlive a failed run (refused
         # handshakes at the ramp's overflow point raise above).
@@ -380,6 +393,8 @@ def daemon_bench(
         "events_dropped": stats["events_dropped"],
         "dropped_samples": stats["dropped_samples"],
         "max_client_late_s": round(max_late, 3),
+        "rss_kb_start": rss0,
+        "rss_kb_end": rss1,
         # Valid only if the generators actually OFFERED the load: a row
         # where clients fell behind real time proves nothing about the
         # server.
