@@ -205,7 +205,9 @@ class TestFrameSignal:
 
 
 class TestResample:
-    @pytest.mark.parametrize("orig_sr", [8000, 22050, 44100, 48000])
+    @pytest.mark.parametrize(
+        "orig_sr", [8000, 11025, 22050, 32000, 44100, 48000]
+    )
     def test_matches_golden(self, orig_sr):
         rng = np.random.default_rng(3)
         w = rng.standard_normal((1, orig_sr)).astype(np.float32)  # 1 s
