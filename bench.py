@@ -521,7 +521,9 @@ if __name__ == "__main__":
     elif "--serving-sweep" in sys.argv:
         # Measured capacity curve (VERDICT r1 §next-6): every point is a
         # real run at that stream count, not arithmetic from a smaller one.
-        for s in (256, 1024, 4096, 8192, 16384):
+        # 20,480 is the measured real-time edge (96.9 ms tick); 24,576
+        # exceeds the 100 ms budget (BASELINE.md).
+        for s in (256, 1024, 4096, 8192, 16384, 18432, 20480):
             serving_bench(num_streams=s)
     elif "--serving" in sys.argv:
         n = 256
