@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
+def serving_bench(num_streams: int = 256, n_ticks: int = None,
+                  precision_mode: str = "high") -> None:
     import jax
 
     from cough_detector_tpu.config import default_config
@@ -50,6 +51,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None) -> None:
     )
     det = StreamingDetector(
         variables=variables, config=cfg, num_streams=num_streams,
+        precision_mode=precision_mode,
         chunk_size=chunk, confidence_threshold=0.7, smoothing_window=3,
         debounce_seconds=0.5,
     )
@@ -529,7 +531,10 @@ if __name__ == "__main__":
         n = 256
         if "--streams" in sys.argv:
             n = int(sys.argv[sys.argv.index("--streams") + 1])
-        serving_bench(num_streams=n)
+        prec = "high"
+        if "--precision" in sys.argv:
+            prec = sys.argv[sys.argv.index("--precision") + 1]
+        serving_bench(num_streams=n, precision_mode=prec)
     else:
         batch = None
         if "--batch" in sys.argv:
