@@ -193,7 +193,117 @@ def _crop_window(
     return out
 
 
-class BatchLoader:
+class _EpochKeyedLoader:
+    """Epoch-keyed determinism + bounded background prefetch — the single
+    owner of the machinery both batch loaders share (`BatchLoader` below
+    and `ShardLoader` in data/shards.py), so the resume-replay contract
+    can never silently diverge between the decode-fed and shard-fed paths.
+
+    Epoch k's sample order (and any RNG draws a subclass makes downstream,
+    e.g. crop shifts) derive from (seed, k) only — never from how many
+    epochs ran before — so a resumed run replays bit-exact. Iteration
+    produces batches on a daemon thread behind a bounded queue; abandoned
+    iterators (consumer exception/break) release the producer instead of
+    leaking it.
+
+    Subclass contract: __init__ must set batch_size / shuffle / weighted /
+    drop_last / prefetch / _seed / _epoch=0 / _pinned=False, and the class
+    must define `_n_samples()` (corpus size), `_order_weights()` (weights
+    for weighted sampling), `_producer_scope()` (context manager whose
+    value is handed to each batch build — a thread pool, or a null
+    context) and `_batch_at(idxs, scope, rng)` (build one batch).
+    """
+
+    def __len__(self) -> int:
+        n = self._n_samples()
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch the next iteration draws its order/shifts for.
+        Called by the train loop each epoch; resume at epoch k then replays
+        exactly the order an uninterrupted run saw at epoch k.
+
+        Pinning is sticky: once any caller pins, the loader stops
+        auto-advancing on iterator close — the two mechanisms never mix,
+        so a pinned consumer that breaks out of an epoch mid-way sees
+        exactly the epoch it pinned on the next pass."""
+        self._epoch = int(epoch)
+        self._pinned = True
+
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng([self._seed, self._epoch])
+
+    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
+        n = self._n_samples()
+        if self.weighted:
+            w = self._order_weights()
+            return rng.choice(n, size=n, replace=True, p=w / w.sum())
+        idx = np.arange(n)
+        if self.shuffle:
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        rng = self._epoch_rng()
+        order = self._epoch_order(rng)
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            # Bounded-queue put that gives up if the consumer went away —
+            # otherwise an abandoned iterator (e.g. an exception in the
+            # training loop) leaves this thread blocked forever.
+            while not abandoned.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:  # surface batch-build errors, never hang
+                with self._producer_scope() as scope:
+                    for b in range(n_batches):
+                        idxs = order[
+                            b * self.batch_size : (b + 1) * self.batch_size
+                        ]
+                        if not put(self._batch_at(idxs, scope, rng)):
+                            return
+            except BaseException as e:
+                put(e)
+            finally:
+                put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Generator closed early (consumer exception/break): release the
+            # producer so its thread pool and prefetched batches don't leak.
+            abandoned.set()
+            thread.join(timeout=5.0)
+            # Auto-advance so callers that never set_epoch still see a
+            # fresh order each bare pass. Pinned loaders (set_epoch — the
+            # train loop) never auto-advance: mixing both would hand a
+            # consumer that breaks mid-epoch a surprise order next pass.
+            if not self._pinned:
+                self._epoch += 1
+
+
+class BatchLoader(_EpochKeyedLoader):
     """Iterates (waves[B, segment], labels[B]) batches with thread-pooled
     decode and background prefetch.
 
@@ -271,36 +381,17 @@ class BatchLoader:
                     "native loader supports .wav datasets only"
                 )
 
-    def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+    def _n_samples(self) -> int:
+        return len(self.dataset)
 
-    def set_epoch(self, epoch: int) -> None:
-        """Pin the epoch the next iteration draws its order/shifts for.
-        Called by the train loop each epoch; resume at epoch k then replays
-        exactly the order an uninterrupted run saw at epoch k.
+    def _order_weights(self) -> np.ndarray:
+        return self.dataset.sample_weights
 
-        Pinning is sticky: once any caller pins, the loader stops
-        auto-advancing on iterator close — the two mechanisms never mix,
-        so a pinned consumer that breaks out of an epoch mid-way sees
-        exactly the epoch it pinned on the next pass."""
-        self._epoch = int(epoch)
-        self._pinned = True
+    def _producer_scope(self):
+        return concurrent.futures.ThreadPoolExecutor(self.num_workers)
 
-    def _epoch_rng(self) -> np.random.Generator:
-        return np.random.default_rng([self._seed, self._epoch])
-
-    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
-        n = len(self.dataset)
-        if self.weighted:
-            w = self.dataset.sample_weights
-            return rng.choice(n, size=n, replace=True, p=w / w.sum())
-        idx = np.arange(n)
-        if self.shuffle:
-            rng.shuffle(idx)
-        return idx
+    def _batch_at(self, idxs, scope, rng):
+        return self._make_batch(idxs, scope, rng)
 
     def _load_full(self, path: str) -> np.ndarray:
         with self._cache_lock:
@@ -371,61 +462,6 @@ class BatchLoader:
 
         waves = np.stack(list(pool.map(load_one, zip(paths, fracs))))
         return waves, labels
-
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = self._epoch_rng()
-        order = self._epoch_order(rng)
-        n_batches = len(self)
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        abandoned = threading.Event()
-
-        def put(item) -> bool:
-            # Bounded-queue put that gives up if the consumer went away —
-            # otherwise an abandoned iterator (e.g. an exception in the
-            # training loop) leaves this thread blocked forever.
-            while not abandoned.is_set():
-                try:
-                    out_q.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def producer():
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                try:
-                    for b in range(n_batches):
-                        idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                        if not put(self._make_batch(idxs, pool, rng)):
-                            return
-                except BaseException as e:  # surface decode errors, never hang
-                    put(e)
-                finally:
-                    put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is sentinel:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            # Generator closed early (consumer exception/break): release the
-            # producer so its thread pool and prefetched batches don't leak.
-            abandoned.set()
-            thread.join(timeout=5.0)
-            # Auto-advance so callers that never set_epoch still see a
-            # fresh order each bare pass. Pinned loaders (set_epoch — the
-            # train loop) never auto-advance: mixing both would hand a
-            # consumer that breaks mid-epoch a surprise order next pass.
-            if not self._pinned:
-                self._epoch += 1
 
 
 def create_data_loaders(

@@ -31,15 +31,15 @@ makes epoch reads free after the first pass (OS page cache).
 
 from __future__ import annotations
 
+import contextlib
 import json
-import queue
-import threading
 from pathlib import Path
-from typing import Iterator, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from ..config import FeatureConfig
+from .datasets import _EpochKeyedLoader
 
 MANIFEST = "manifest.json"
 FORMAT_VERSION = 1
@@ -114,11 +114,12 @@ def write_shards(
     return manifest
 
 
-class ShardLoader:
+class ShardLoader(_EpochKeyedLoader):
     """Iterates (waves[B, segment] int16, labels[B] int32) batches from a
-    packed shard directory — the decode-free twin of `BatchLoader`
-    (identical epoch-keyed determinism, sampling and prefetch contracts;
-    see that class for the reference mapping)."""
+    packed shard directory — the decode-free twin of `BatchLoader`.
+    The epoch-keyed determinism, sampling and prefetch contracts are not
+    merely identical but the SAME CODE (`_EpochKeyedLoader`); see
+    `BatchLoader` for the reference mapping."""
 
     def __init__(
         self,
@@ -202,21 +203,30 @@ class ShardLoader:
 
     def _compute_sample_weights(self) -> np.ndarray:
         """Inverse-frequency weights, matching ClipDataset
-        (reference: src/dataset.py:109-116)."""
+        (reference: src/dataset.py:109-116). Vectorized — this loader
+        targets corpora too large to decode per epoch, so a per-row
+        Python loop here would cost seconds at every construction."""
         total = len(self._labels)
         n_classes = max(len(self.class_counts), 1)
-        w = np.empty(total, np.float64)
-        for i, lab in enumerate(self._labels):
-            w[i] = total / (
-                n_classes * max(self.class_counts.get(int(lab), 1), 1)
-            )
-        return w
+        if total == 0:
+            return np.empty(0, np.float64)
+        counts = np.ones(int(self._labels.max()) + 1, np.float64)
+        for k, v in self.class_counts.items():
+            if 0 <= k < counts.shape[0]:
+                counts[k] = max(v, 1)
+        return total / (n_classes * counts[self._labels])
 
-    def __len__(self) -> int:
-        n = len(self._labels)
-        if self.drop_last:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+    def _n_samples(self) -> int:
+        return len(self._labels)
+
+    def _order_weights(self) -> np.ndarray:
+        return self.sample_weights
+
+    def _producer_scope(self):
+        return contextlib.nullcontext()
+
+    def _batch_at(self, idxs, scope, rng):
+        return self._gather(idxs)
 
     @property
     def n_clips(self) -> int:
@@ -253,25 +263,6 @@ class ShardLoader:
         labels_mat = self._labels[idx_mat]
         return idx_mat, labels_mat, mask.reshape(n_steps, b)
 
-    def set_epoch(self, epoch: int) -> None:
-        """Pin the epoch the next iteration draws its order for (same
-        resume-replay contract as BatchLoader.set_epoch)."""
-        self._epoch = int(epoch)
-        self._pinned = True
-
-    def _epoch_rng(self) -> np.random.Generator:
-        return np.random.default_rng([self._seed, self._epoch])
-
-    def _epoch_order(self, rng: np.random.Generator) -> np.ndarray:
-        n = len(self._labels)
-        if self.weighted:
-            w = self.sample_weights
-            return rng.choice(n, size=n, replace=True, p=w / w.sum())
-        idx = np.arange(n)
-        if self.shuffle:
-            rng.shuffle(idx)
-        return idx
-
     def _gather(self, idxs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         out = np.empty((len(idxs), self.segment_samples), np.int16)
         shard_ids = (
@@ -284,52 +275,3 @@ class ShardLoader:
             # from the page cache after the first epoch.
             out[sel] = self._waves[s][rows]
         return out, self._labels[idxs]
-
-    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = self._epoch_rng()
-        order = self._epoch_order(rng)
-        n_batches = len(self)
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        abandoned = threading.Event()
-
-        def put(item) -> bool:
-            while not abandoned.is_set():
-                try:
-                    out_q.put(item, timeout=0.5)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def producer():
-            try:
-                for b in range(n_batches):
-                    idxs = order[
-                        b * self.batch_size : (b + 1) * self.batch_size
-                    ]
-                    if not put(self._gather(idxs)):
-                        return
-            except BaseException as e:
-                put(e)
-            finally:
-                put(sentinel)
-
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is sentinel:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            abandoned.set()
-            thread.join(timeout=5.0)
-            # Unpinned consumers get a fresh order each bare pass; a train
-            # loop that pins via set_epoch keeps full control (same rule as
-            # BatchLoader).
-            if not self._pinned:
-                self._epoch += 1

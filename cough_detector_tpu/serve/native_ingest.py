@@ -31,7 +31,10 @@ _build_failed = False
 
 
 def _build() -> Optional[Path]:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    # Strict `>`: an equal-mtime .so (copied tree, archive extraction,
+    # mtime-preserving sync) may be stale or foreign-platform — rebuild,
+    # matching bench._ensure_loadgen's policy.
+    if _LIB.exists() and _LIB.stat().st_mtime > _SRC.stat().st_mtime:
         return _LIB
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",

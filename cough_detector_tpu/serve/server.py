@@ -341,6 +341,20 @@ class DetectionServer:
         self._fetched: Dict[int, tuple] = {}  # serial → (live, dets, t0)
         self._fetched_cond = threading.Condition()
         self._dispatched = 0  # tick serial, single-writer: tick thread
+        self._routed = 0  # ticks claimed by the router, single-writer
+        # The _inflight queue only bounds dispatch→fetch. If ONE fetch
+        # hangs (the dev tunnel can stall for multi-second stretches
+        # without raising), the other workers keep completing later
+        # serials into _fetched while the router waits on the hung one —
+        # unbounded growth, and on the native backend the assembly-buffer
+        # pool would eventually wrap onto the hung tick's buffer while
+        # its device_put may still be reading it. So dispatch is ALSO
+        # gated on the router's progress (_wait_dispatch_slot): at most
+        # _max_ahead ticks may exist between dispatch and routing, which
+        # caps _fetched at _max_ahead entries and is exactly the
+        # assembly-pool size, so a buffer can never be reused before its
+        # tick's fetch has completed.
+        self._max_ahead = 3 * self._delivery_workers + 2
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
 
@@ -356,15 +370,15 @@ class DetectionServer:
             # the router needs for retiming + reuse-safe event delivery.
             self._slot_meta: Dict[int, tuple] = {}
             # Rotating assembly buffers: a tick's device_put may still be
-            # reading its host array while later ticks dispatch, and up
-            # to (inflight capacity + one per fetch worker + the one
-            # being dispatched) ticks can be in flight at once — size
-            # the pool to that bound so assemble() never overwrites a
-            # buffer an in-flight tick still reads.
-            n_bufs = 2 * self._delivery_workers + self._delivery_workers + 2
+            # reading its host array while later ticks dispatch. Dispatch
+            # can run at most _max_ahead ticks past the router (see
+            # _wait_dispatch_slot), and routing a serial implies its
+            # fetch — hence its H2D read — completed, so a pool of
+            # exactly _max_ahead buffers can never be overwritten while
+            # an in-flight tick still reads one.
             self._assemble_bufs = [
                 np.zeros((num_streams, chunk_size), self._h2d)
-                for _ in range(n_bufs)
+                for _ in range(self._max_ahead)
             ]
         else:
             self._ingest = None
@@ -439,6 +453,7 @@ class DetectionServer:
                     "backend": "native",
                     "ticks": self._stats["ticks"],
                     "dispatched": self._dispatched,
+                    "routed": self._routed,
                 }
                 ticks = np.asarray(self._tick_times)
                 lags = np.asarray(self._lag_times)
@@ -464,8 +479,10 @@ class DetectionServer:
                 **self._stats,
                 "open_streams": open_slots,
                 # Dispatch-side tick clock (single-writer: tick thread);
-                # "ticks" minus this bounds the delivery pipeline depth.
+                # dispatched minus routed is the live pipeline depth,
+                # bounded by _max_ahead.
                 "dispatched": self._dispatched,
+                "routed": self._routed,
             }
             ticks = np.asarray(self._tick_times)
             lags = np.asarray(self._lag_times)
@@ -636,11 +653,27 @@ class DetectionServer:
             except queue.Full:
                 continue
 
+    def _wait_dispatch_slot(self) -> bool:
+        """Block until dispatch is fewer than _max_ahead ticks ahead of
+        ROUTING (rationale in __init__); False if the server stopped
+        while waiting. A chronically stalled delivery pipeline parks the
+        real-time timer HERE — missed cadence, visible in stats — rather
+        than growing _fetched without bound."""
+        with self._fetched_cond:
+            while (
+                self._dispatched - self._routed >= self._max_ahead
+                and not self._stop.is_set()
+            ):
+                self._fetched_cond.wait(timeout=0.2)
+        return not self._stop.is_set()
+
     def _tick_once(self) -> None:
         """Assemble + DISPATCH one device tick; never fetches. Event
         fetch/routing happens on the delivery thread one tick behind
         (see _inflight in __init__), so the real-time cadence of this
         loop is independent of host↔device round-trip latency."""
+        if not self._wait_dispatch_slot():
+            return
         if self._ingest is not None:
             self._tick_once_native()
             return
@@ -717,6 +750,12 @@ class DetectionServer:
                 if self._stop.is_set():
                     return
                 live, detections, t_dispatch = self._fetched.pop(next_serial)
+                # Claim the serial BEFORE delivering: popping it proves
+                # its fetch (and H2D read) completed, which is what the
+                # dispatch gate and the assembly-buffer pool wait on —
+                # delivery latency must not eat into the cadence budget.
+                self._routed = next_serial + 1
+                self._fetched_cond.notify_all()
             try:
                 self._deliver(live, detections)
             except Exception as err:  # never wedge in-order delivery

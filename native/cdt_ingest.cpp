@@ -85,7 +85,6 @@ struct Conn {
   bool dead = false;         // marked for reaping (io loop collects)
   bool reaped = false;       // already on this batch's reap list
   bool closed = false;       // cleanup done (close_conn ran)
-  bool want_write = false;
 };
 
 struct Header {
@@ -155,7 +154,6 @@ void send_frame(Server* s, Conn* c, uint8_t type, uint32_t stream,
   make_header(buf.data(), type, stream, len);
   if (len) std::memcpy(buf.data() + kHeaderSize, payload, len);
   enqueue_bytes(s, c, buf.data(), buf.size(), dropped);
-  c->want_write = true;
 }
 
 // reg_m held.

@@ -230,10 +230,17 @@ class TestEvaluate:
                 "threshold", "fp_per_min_silence", "fp_per_min_speech",
                 "cough_detection_rate", "passes",
             }
-        # Monotonicity of the replay: FP counts never increase as the
-        # threshold rises.
+        # Full monotonicity is NOT guaranteed by the threshold+debounce
+        # rule — raising the threshold can skip an early fire and realign
+        # the debounce grid so MORE later peaks become eligible. What IS
+        # guaranteed: a zero FP rate is upward-closed in the threshold
+        # (no window clears t ⇒ none clears t' > t ⇒ zero events).
         sils = [r["fp_per_min_silence"] for r in rec["sweep"]]
-        assert all(a >= b for a, b in zip(sils, sils[1:]))
+        seen_zero = False
+        for v in sils:
+            if seen_zero:
+                assert v == 0.0
+            seen_zero = seen_zero or v == 0.0
         if rec["passing_band"] is not None:
             lo, hi = rec["passing_band"]
             assert lo <= rec["recommended_threshold"] <= hi

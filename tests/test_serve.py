@@ -1084,6 +1084,58 @@ class TestIsolationAndRecovery:
         assert stats["tick_errors"] == 1
         assert got, "later ticks must still deliver"
 
+    def test_hung_fetch_bounds_dispatch_and_fetched(self, model_and_config):
+        """One wedged event fetch must not let the pipeline run away: the
+        other fetch workers keep completing later serials, but dispatch is
+        gated on ROUTING progress, so _fetched stays bounded (and the
+        native assembly-buffer pool can never wrap onto a buffer an
+        in-flight tick still reads). Releasing the hung fetch drains
+        everything in order."""
+        import threading
+
+        wave = synth.synthetic_cough(7, 4.0)
+        n_chunks = wave.size // CHUNK
+        srv = _make_server(
+            model_and_config, num_streams=1, delivery_workers=2
+        )
+        release = threading.Event()
+        try:
+            with srv:
+                orig = srv._detector.collect_events
+                state = {"calls": 0}
+
+                def hung(events):
+                    state["calls"] += 1
+                    if state["calls"] == 1:
+                        release.wait(timeout=30.0)
+                    return orig(events)
+
+                srv._detector.collect_events = hung
+                host, port = srv.address
+                with DetectionClient(host, port) as c:
+                    sid = c.open_stream()
+                    for t in range(n_chunks):
+                        c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                    # Serial 0's fetch is wedged → the router can't route
+                    # anything → dispatch must park at the gate.
+                    assert _wait(
+                        lambda: srv.stats()["dispatched"] >= srv._max_ahead
+                    )
+                    time.sleep(0.5)  # give a runaway pipeline rope
+                    stats = srv.stats()
+                    assert stats["dispatched"] <= srv._max_ahead
+                    assert stats["routed"] == 0
+                    assert len(srv._fetched) <= srv._max_ahead
+                    release.set()
+                    assert _wait(
+                        lambda: srv.stats()["ticks"]
+                        == srv.stats()["dispatched"]
+                        and srv.stats()["dispatched"] >= n_chunks
+                    )
+                    assert c.events(timeout=5.0)
+        finally:
+            release.set()
+
     def test_daemon_bench_harness_smoke(self):
         """bench.py --daemon end-to-end on the loopback: clients feed
         real-time PCM, the pipelined tick holds cadence, events arrive."""
