@@ -52,8 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "where even int16 saturates (approximate: "
                         "measured confidence deltas in docs/PARITY.md)")
     p.add_argument("--stats-interval", type=float, default=10.0)
+    p.add_argument("--stats-port", type=int, default=None,
+                   help="Serve GET /healthz and /stats (JSON) on this "
+                        "HTTP port for scrapers/orchestrators (0 = "
+                        "ephemeral; address in the readiness line). "
+                        "/healthz turns 200 only once the daemon is "
+                        "accepting clients — i.e. after the tick "
+                        "program compiled")
     p.add_argument("--max-seconds", type=float, default=None,
                    help="Exit after this long (smoke tests / supervisors)")
+    p.add_argument("--compile-cache", type=str, default=None,
+                   help="Persistent XLA compile-cache directory: a "
+                        "restarted daemon loads its tick program from "
+                        "disk instead of recompiling (cold start "
+                        "minutes -> seconds; utils.enable_compile_cache)")
     return p
 
 
@@ -62,6 +74,11 @@ def main(argv=None) -> None:
 
     from ..serve import DetectionServer
     from ..stream.detector import _load_any_checkpoint
+
+    if args.compile_cache:
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     variables, config = _load_any_checkpoint(args.model)
     chunk_size = int(config.features.sample_rate * args.chunk_ms / 1000.0)
@@ -82,6 +99,17 @@ def main(argv=None) -> None:
         h2d_dtype=args.h2d_dtype,
     )
     host, port = server.address[0], server.address[1]
+
+    # Observability sidecar: starts (and binds) BEFORE the tick compile
+    # so orchestrators can poll /healthz through the cold start; flips
+    # ready only when the daemon is actually accepting clients.
+    stats_http = None
+    if args.stats_port is not None:
+        from ..serve.stats_http import StatsHttpServer
+
+        stats_http = StatsHttpServer(
+            server.stats, host=args.host, port=args.stats_port
+        )
 
     # Supervisors stop daemons with SIGTERM: route it through the same
     # clean path as Ctrl-C so the context manager joins the tick/delivery
@@ -117,12 +145,16 @@ def main(argv=None) -> None:
             # after the tick program has compiled and the accept loop is
             # live — so a supervisor reading it can immediately open
             # streams.
+            if stats_http is not None:
+                stats_http.set_ready(True)
             print(json.dumps({
                 "serving": True, "host": host, "port": port,
                 "streams": args.streams, "chunk_ms": args.chunk_ms,
                 "model_type": config.model.model_type,
                 "backend": server.backend,
                 "h2d_dtype": server.h2d_dtype,
+                **({"stats_http": list(stats_http.address)}
+                   if stats_http is not None else {}),
             }), flush=True)
             while deadline is None or time.time() < deadline:
                 time.sleep(min(args.stats_interval,
@@ -140,6 +172,9 @@ def main(argv=None) -> None:
             # prevent.
             if prev_sigterm is not None:
                 signal.signal(signal.SIGTERM, signal.SIG_IGN)
+            if stats_http is not None:
+                stats_http.set_ready(False)  # drain: healthz 503 first
+                stats_http.stop()
             server.stop()
     finally:
         if prev_sigterm is not None:

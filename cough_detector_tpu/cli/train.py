@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Join a multi-host JAX runtime (TPU pod slice) "
                         "before training; DP then spans all hosts' chips "
                         "with the same mesh code path")
+    p.add_argument("--compile-cache", type=str, default=None,
+                   help="Persistent XLA compile-cache directory: "
+                        "restarted/resumed runs load the train programs "
+                        "from disk instead of recompiling "
+                        "(utils.enable_compile_cache)")
     return p
 
 
@@ -51,6 +56,11 @@ def main(argv=None) -> None:
         if not maybe_initialize_distributed():
             print("--distributed: no coordinator/pod environment found; "
                   "continuing single-host")
+
+    if args.compile_cache:
+        from ..utils import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     from ..config import Config, ModelConfig, TrainConfig
     from ..data.acquire import download_esc50

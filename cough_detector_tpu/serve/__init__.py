@@ -15,8 +15,10 @@ from .server import (
     quantize_i16,
     quantize_mulaw,
 )
+from .stats_http import StatsHttpServer
 
 __all__ = [
     "DetectionClient", "DetectionServer", "ServerRefused",
+    "StatsHttpServer",
     "dequantize_mulaw", "h2d_silence", "quantize_i16", "quantize_mulaw",
 ]

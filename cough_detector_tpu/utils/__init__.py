@@ -1,5 +1,7 @@
-"""Utilities: observability (metrics, throughput/latency, profiler traces)."""
+"""Utilities: observability (metrics, throughput/latency, profiler
+traces) and the persistent XLA compile cache."""
 
+from .compile_cache import enable_compile_cache
 from .observability import (
     JsonlLogger,
     LatencyTracker,
@@ -10,6 +12,7 @@ from .observability import (
 
 __all__ = [
     "JsonlLogger",
+    "enable_compile_cache",
     "LatencyTracker",
     "Throughput",
     "capture_trace",

@@ -175,6 +175,137 @@ class TestDetectionDelivery:
         assert lines[0]["serving"] is True
         assert lines[-1]["serving"] is False
 
+    def test_stats_http_sidecar(self):
+        """The observability sidecar: /healthz gates on readiness,
+        /stats returns a fresh JSON snapshot per request, unknown paths
+        404, and a stats() exception never takes the scraper down."""
+        import json
+        import urllib.error
+        import urllib.request
+
+        from cough_detector_tpu.serve import StatsHttpServer
+
+        state = {"n": 0, "boom": False}
+
+        def get_stats():
+            if state["boom"]:
+                raise RuntimeError("synthetic stats failure")
+            state["n"] += 1
+            return {"ticks": state["n"]}
+
+        srv = StatsHttpServer(get_stats, port=0)
+        try:
+            host, port = srv.address
+            base = f"http://{host}:{port}"
+
+            def get(path):
+                try:
+                    with urllib.request.urlopen(base + path, timeout=5) as r:
+                        return r.status, r.read()
+                except urllib.error.HTTPError as e:
+                    return e.code, e.read()
+
+            assert get("/healthz")[0] == 503  # not ready yet
+            srv.set_ready(True)
+            assert get("/healthz") == (200, b"ok")
+            s1 = json.loads(get("/stats")[1])
+            s2 = json.loads(get("/stats")[1])
+            assert s2["ticks"] == s1["ticks"] + 1  # fresh snapshots
+            assert get("/nope")[0] == 404
+            state["boom"] = True
+            code, body = get("/stats")
+            assert code == 500 and b"synthetic" in body
+            state["boom"] = False
+            assert get("/stats")[0] == 200  # scraper survived
+            srv.set_ready(False)
+            assert get("/healthz")[0] == 503  # drain semantics
+        finally:
+            srv.stop()
+
+    def test_cli_stats_port_serves_daemon_stats(
+        self, model_and_config, tmp_path
+    ):
+        """cdt-serve --stats-port: the readiness line carries the bound
+        HTTP address, /healthz is 200 while serving, and /stats returns
+        the daemon's own counters."""
+        import json
+        import subprocess
+        import sys
+        import urllib.request
+
+        variables, cfg = model_and_config
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        boot = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from cough_detector_tpu.cli.serve import main\n"
+            "import sys; main(sys.argv[1:])\n"
+        )
+        proc = subprocess.Popen(
+            [sys.executable, "-c", boot,
+             "--model", str(pt), "--port", "0",
+             "--streams", "2", "--stats-interval", "5",
+             "--stats-port", "0", "--max-seconds", "30"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd="/root/repo",
+        )
+        try:
+            first = json.loads(proc.stdout.readline())
+            assert first["serving"] is True
+            sh, sp = first["stats_http"]
+            base = f"http://{sh}:{sp}"
+            with urllib.request.urlopen(base + "/healthz", timeout=5) as r:
+                assert r.status == 200
+            with urllib.request.urlopen(base + "/stats", timeout=5) as r:
+                stats = json.loads(r.read())
+            assert "dispatched" in stats and "open_streams" in stats
+            proc.terminate()
+            out, err = proc.communicate(timeout=60)
+        finally:
+            proc.kill()
+        assert proc.returncode == 0, err
+
+    def test_cli_compile_cache_populates_and_serves(
+        self, model_and_config, tmp_path
+    ):
+        """--compile-cache routes the tick-program compile through the
+        persistent XLA cache: the daemon serves normally and the cache
+        directory holds serialized executables afterwards (on the chip
+        this turns a restart's minutes-long compile into a disk load —
+        measured 25 s -> 7.5 s spawn-to-ready, BASELINE.md). Runs in a
+        subprocess: the cache config is process-global and must not
+        leak into this suite."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        variables, cfg = model_and_config
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        cache = tmp_path / "xla_cache"
+        boot = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "from cough_detector_tpu.cli.serve import main\n"
+            "import sys; main(sys.argv[1:])\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", boot,
+             "--model", str(pt), "--port", "0",
+             "--streams", "2", "--max-seconds", "0.3",
+             "--compile-cache", str(cache)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=180,
+        )
+        assert out.returncode == 0, out.stderr
+        first = json.loads(out.stdout.strip().splitlines()[0])
+        assert first["serving"] is True
+        n_entries = sum(len(fs) for _, _, fs in os.walk(cache))
+        assert n_entries > 0, "cache dir must hold compiled programs"
+
     def test_cli_sigterm_clean_shutdown(self, model_and_config, tmp_path):
         """Supervisors stop daemons with SIGTERM, not Ctrl-C: the CLI
         must route it through the same clean path — threads joined,
