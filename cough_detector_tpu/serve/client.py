@@ -66,11 +66,16 @@ class DetectionClient:
 
     # -- API -------------------------------------------------------------
 
-    def open_stream(self, timeout: float = 10.0) -> int:
+    def open_stream(
+        self, timeout: float = 10.0, threshold: float = None
+    ) -> int:
+        """Allocate a stream slot. `threshold` (optional) sets THIS
+        stream's confidence threshold — multi-tenant sensitivity without
+        a separate server; None uses the server's default."""
         with self._pending_lock:
             self._pending_opens += 1
         try:
-            self._sock.sendall(protocol.encode(protocol.OPEN))
+            self._sock.sendall(protocol.encode_open(threshold))
             kind, value = self._opened.get(timeout=timeout)
         except Exception:
             # The handshake died (send failed or reply never came): retire

@@ -69,7 +69,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.cdt_ingest_granted.restype = ctypes.c_int
         lib.cdt_ingest_granted.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_uint), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
         lib.cdt_ingest_assemble.restype = ctypes.c_int
         lib.cdt_ingest_assemble.argtypes = [
@@ -148,11 +149,14 @@ class NativeIngest:
         self.address = (host, int(lib.cdt_ingest_port(self._h)))
         self._granted_ids = np.empty(num_streams, np.int32)
         self._granted_gens = np.empty(num_streams, np.uint32)
+        self._granted_thrs = np.empty(num_streams, np.float32)
         self._final_stats: Optional[dict] = None
 
-    def granted(self) -> List[Tuple[int, int]]:
-        """(slot, generation) pairs granted since the last call; calling
-        this ACTIVATES them for assembly — scrub the device lanes before
+    def granted(self) -> List[Tuple[int, int, Optional[float]]]:
+        """(slot, generation, threshold) triples granted since the last
+        call — threshold is the tenant's own confidence threshold from
+        its OPEN frame, or None for the server default. Calling this
+        ACTIVATES the slots for assembly — scrub the device lanes before
         the tick that follows."""
         if self._h is None:
             return []
@@ -164,10 +168,19 @@ class NativeIngest:
             self._granted_gens.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_uint)
             ),
+            self._granted_thrs.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            ),
             self.num_streams,
         )
         return [
-            (int(self._granted_ids[i]), int(self._granted_gens[i]))
+            (
+                int(self._granted_ids[i]),
+                int(self._granted_gens[i]),
+                None
+                if np.isnan(self._granted_thrs[i])
+                else float(self._granted_thrs[i]),
+            )
             for i in range(n)
         ]
 

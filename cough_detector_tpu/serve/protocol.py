@@ -14,8 +14,13 @@ Framing: a fixed 12-byte little-endian header, then the payload.
     length  u32  payload byte length
 
 Payloads: AUDIO carries float32le PCM samples; EVENT carries UTF-8 JSON
-{"time": seconds, "confidence": p}; ERROR carries a UTF-8 message; OPEN /
-OPENED / CLOSE are empty.
+{"time": seconds, "confidence": p}; ERROR carries a UTF-8 message;
+OPENED / CLOSE are empty. OPEN is empty (server-default sensitivity) OR
+carries exactly 4 bytes: a float32le per-stream confidence threshold —
+multi-tenant serving lets each stream pick its own trigger point without
+a second server or XLA program (the threshold is a per-lane vector in
+the device tick, stream/ring.py). Any other OPEN length is a protocol
+error.
 """
 
 from __future__ import annotations
@@ -56,6 +61,30 @@ def encode(type_: int, stream: int = 0, payload: bytes = b"") -> bytes:
 
 def encode_audio(stream: int, samples: np.ndarray) -> bytes:
     return encode(AUDIO, stream, np.asarray(samples, np.float32).tobytes())
+
+
+def encode_open(threshold: Optional[float] = None) -> bytes:
+    """OPEN frame; `threshold` (optional) is this stream's own confidence
+    threshold, overriding the server default for the granted slot."""
+    if threshold is None:
+        return encode(OPEN)
+    return encode(OPEN, 0, struct.pack("<f", float(threshold)))
+
+
+def decode_open_threshold(frame: Frame) -> Optional[float]:
+    """The per-stream threshold carried by an OPEN frame, or None for the
+    server default. Raises ValueError on a malformed payload (callers
+    turn that into a protocol error)."""
+    if not frame.payload:
+        return None
+    if len(frame.payload) != 4:
+        raise ValueError(
+            f"OPEN payload must be empty or 4 bytes, got {len(frame.payload)}"
+        )
+    (thr,) = struct.unpack("<f", frame.payload)
+    if not np.isfinite(thr):
+        raise ValueError("OPEN threshold must be finite")
+    return float(thr)
 
 
 def encode_event(stream: int, time_s: float, confidence: float) -> bytes:

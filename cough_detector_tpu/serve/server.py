@@ -313,9 +313,11 @@ class DetectionServer:
         self._slots: Dict[int, _Slot] = {}
         self._free = list(range(num_streams - 1, -1, -1))
         self._reg_lock = threading.Lock()
-        # Slots granted but not yet state-scrubbed; the tick thread zeroes
-        # their device rows before pulling any of their audio.
-        self._pending_resets: List[int] = []
+        # Slots granted but not yet state-scrubbed, as (slot_id,
+        # threshold-or-None) pairs; the tick thread zeroes their device
+        # rows (and installs the tenant's per-stream threshold) before
+        # pulling any of their audio.
+        self._pending_resets: List[tuple] = []
         self._stats = {
             "ticks": 0, "events": 0, "events_dropped": 0,
             "dropped_samples": 0, "connections": 0, "refused": 0,
@@ -530,6 +532,10 @@ class DetectionServer:
 
     def _handle(self, client: _Client, frame: protocol.Frame) -> None:
         if frame.type == protocol.OPEN:
+            try:
+                threshold = protocol.decode_open_threshold(frame)
+            except ValueError as err:
+                raise _ProtocolViolation(str(err))
             with self._reg_lock:
                 if self._free:
                     slot_id = self._free.pop()
@@ -542,7 +548,7 @@ class DetectionServer:
                         client, self._dispatched * self.chunk_size
                     )
                     client.slots.append(slot_id)
-                    self._pending_resets.append(slot_id)
+                    self._pending_resets.append((slot_id, threshold))
                 else:
                     slot_id = None
             if slot_id is None:
@@ -633,9 +639,12 @@ class DetectionServer:
         one ctypes call (no per-frame Python anywhere), and dispatches."""
         granted = self._ingest.granted()
         if granted:
-            self._detector.reset_streams([sid for sid, _ in granted])
+            self._detector.reset_streams(
+                [sid for sid, _, _ in granted],
+                thresholds=[thr for _, _, thr in granted],
+            )
             start_sample = self._dispatched * self.chunk_size
-            for sid, gen in granted:
+            for sid, gen, _ in granted:
                 self._slot_meta[sid] = (gen, start_sample)
         buf = self._assemble_bufs[self._dispatched % len(self._assemble_bufs)]
         self._ingest.assemble(buf)
@@ -688,9 +697,12 @@ class DetectionServer:
         # not safe against a concurrent tick dispatch; the delivery thread
         # only reads already-materialized event arrays).
         if resets:
-            self._detector.reset_streams(resets)
+            self._detector.reset_streams(
+                [sid for sid, _ in resets],
+                thresholds=[thr for _, thr in resets],
+            )
             start_sample = self._dispatched * self.chunk_size
-            for sid in resets:
+            for sid, _ in resets:
                 slot = live.get(sid)
                 if slot is not None:
                     slot.open_sample = start_sample

@@ -137,7 +137,7 @@ class StreamingDetector:
             score_fn, fcfg, self.stream_config, chunk_size
         )
 
-        def _reset_masked(state, mask):
+        def _reset_masked(state, mask, thresholds):
             m1 = mask[:, None]
             return state._replace(
                 buffer=jnp.where(m1, 0.0, state.buffer),
@@ -146,6 +146,7 @@ class StreamingDetector:
                 last_fire_window=jnp.where(
                     mask, -(1 << 24), state.last_fire_window
                 ),
+                threshold=jnp.where(mask, thresholds, state.threshold),
             )
 
         self._reset_fn = jax.jit(_reset_masked, donate_argnums=(0,))
@@ -160,6 +161,7 @@ class StreamingDetector:
             self.chunk_size,
             self.window_samples,
             self.stream_config.smoothing_window,
+            self.stream_config.confidence_threshold,
         )
         if self.mesh is not None:
             self._state = shard_streams(
@@ -167,7 +169,7 @@ class StreamingDetector:
             )
         self._pending = np.zeros((self.num_streams, 0), np.float32)
 
-    def reset_streams(self, indices) -> None:
+    def reset_streams(self, indices, thresholds=None) -> None:
         """Zero the per-stream state rows (ring buffer, smoothing history
         + its per-lane validity count, debounce clock, pending host
         samples) for the given stream lanes, leaving the shared lockstep
@@ -179,13 +181,30 @@ class StreamingDetector:
         (a length-dependent index vector would recompile per count —
         minutes over a cold TPU tunnel, mid-tick). NOT thread-safe with a
         concurrent process_chunk — callers serialize on the tick
-        (serve/server.py), which also pre-warms this program in start()."""
+        (serve/server.py), which also pre-warms this program in start().
+
+        `thresholds`: per-lane confidence thresholds for the reset lanes
+        (multi-tenant serving: each slot grant may carry its tenant's own
+        sensitivity). Aligned with `indices`; None (or a None entry)
+        restores the detector's configured default. Non-reset lanes keep
+        their current thresholds. Same fixed-shape rule: the threshold
+        vector is always (num_streams,), so this stays one program."""
+        idx = np.asarray(list(indices), np.int64)
         mask = np.zeros((self.num_streams,), bool)
-        mask[np.asarray(list(indices), np.int64)] = True
+        mask[idx] = True
+        default = self.stream_config.confidence_threshold
+        thr = np.full((self.num_streams,), default, np.float32)
+        if thresholds is not None:
+            per_lane = [
+                default if t is None else float(t) for t in thresholds
+            ]
+            thr[idx] = np.asarray(per_lane, np.float32)
         mask_dev = jnp.asarray(mask)
+        thr_dev = jnp.asarray(thr)
         if self.mesh is not None:
             mask_dev = jax.device_put(mask_dev, stream_sharding(self.mesh))
-        self._state = self._reset_fn(self._state, mask_dev)
+            thr_dev = jax.device_put(thr_dev, stream_sharding(self.mesh))
+        self._state = self._reset_fn(self._state, mask_dev, thr_dev)
         self._pending[mask] = 0.0
 
     def tick_async(self, tick: np.ndarray) -> dict:

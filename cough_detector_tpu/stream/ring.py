@@ -42,6 +42,7 @@ class StreamState(NamedTuple):
     history: jnp.ndarray       # (S, smoothing_window) recent confidences
     history_len: jnp.ndarray   # (S,) valid history entries per lane (<= win)
     last_fire_window: jnp.ndarray  # (S,) int32 window index of last detection
+    threshold: jnp.ndarray     # (S,) f32 per-lane confidence threshold
 
 
 def init_state(
@@ -49,6 +50,7 @@ def init_state(
     chunk_size: int,
     window_samples: int,
     smoothing_window: int,
+    confidence_threshold: float = 0.7,
 ) -> StreamState:
     capacity = window_samples + chunk_size
     return StreamState(
@@ -58,6 +60,9 @@ def init_state(
         history=jnp.zeros((num_streams, smoothing_window), jnp.float32),
         history_len=jnp.zeros((num_streams,), jnp.int32),
         last_fire_window=jnp.full((num_streams,), -(1 << 24), jnp.int32),
+        threshold=jnp.full(
+            (num_streams,), confidence_threshold, jnp.float32
+        ),
     )
 
 
@@ -73,7 +78,6 @@ def stream_step(
     window_samples: int,
     hop_samples: int,
     sample_rate: int,
-    confidence_threshold: float,
     debounce_seconds: float,
 ) -> Tuple[StreamState, dict]:
     """One streaming tick for all S streams.
@@ -157,7 +161,10 @@ def stream_step(
     smoothed = jnp.stack(smoothed_list, axis=1)  # (S, K)
 
     # 4. Threshold + debounce in stream time
-    #    (reference: src/inference.py:225-239). All time arithmetic is in
+    #    (reference: src/inference.py:225-239). The threshold is PER LANE
+    #    (state.threshold, set at init and re-settable per slot on reuse —
+    #    multi-tenant serving grants each stream its own sensitivity
+    #    without a second XLA program). All time arithmetic is in
     #    integer WINDOW INDICES: f32 seconds round such that an exact
     #    debounce-interval boundary (e.g. 0.5 s at a 0.25 s hop) flakily
     #    compares as 0.49999976 < 0.5 and drops detections, and int32
@@ -180,7 +187,7 @@ def stream_step(
     for k in range(k_max):
         can_fire = (
             valid[k]
-            & (smoothed[:, k] >= confidence_threshold)
+            & (smoothed[:, k] >= state.threshold)
             & (win_idx[k] - last_fire >= debounce_windows)
         )
         last_fire = jnp.where(can_fire, win_idx[k], last_fire)
@@ -201,6 +208,7 @@ def stream_step(
         history=history,
         history_len=history_len,
         last_fire_window=last_fire,
+        threshold=state.threshold,
     )
     # Single packed f32 event tensor, (3 + 2S, K): one host fetch decodes
     # a whole tick. Over the dev tunnel each fetch costs a ~27 ms round
@@ -251,7 +259,6 @@ def make_stream_step(
         window_samples=window,
         hop_samples=hop,
         sample_rate=feature_config.sample_rate,
-        confidence_threshold=stream_config.confidence_threshold,
         debounce_seconds=stream_config.debounce_seconds,
     )
     return jax.jit(fn, donate_argnums=(0,))

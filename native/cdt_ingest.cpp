@@ -35,6 +35,7 @@
 #include <arpa/inet.h>
 #include <cerrno>
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -76,6 +77,12 @@ struct Slot {
   bool pending = false;      // granted but not yet scrubbed by control
 };
 
+struct Grant {
+  int sid;
+  uint32_t gen;
+  float threshold;  // per-stream confidence threshold; NaN = server default
+};
+
 struct Conn {
   int fd = -1;
   std::vector<uint8_t> inbuf;
@@ -108,7 +115,7 @@ struct Server {
   std::mutex reg_m;          // slots' registry fields, free list, conns
   std::vector<std::unique_ptr<Slot>> slots;
   std::vector<int> free_slots;
-  std::vector<std::pair<int, uint32_t>> granted;  // since last fetch
+  std::vector<Grant> granted;  // since last fetch
   std::unordered_map<int, Conn*> conns;           // fd -> conn
 
   // stats (reg_m)
@@ -232,6 +239,20 @@ void handle_frame(Server* s, Conn* c, const Header& h,
                   const uint8_t* payload) {
   switch (h.type) {
     case OPEN: {
+      // Empty payload = server-default sensitivity; exactly 4 bytes =
+      // this stream's own float32le confidence threshold (multi-tenant
+      // serving; mirrors serve/protocol.py encode_open).
+      float threshold = std::numeric_limits<float>::quiet_NaN();
+      if (h.length == 4) {
+        std::memcpy(&threshold, payload, 4);
+        if (!std::isfinite(threshold)) {
+          protocol_error(s, c, "OPEN threshold must be finite");
+          return;
+        }
+      } else if (h.length != 0) {
+        protocol_error(s, c, "OPEN payload must be empty or 4 bytes");
+        return;
+      }
       int sid = -1;
       uint32_t gen = 0;
       {
@@ -248,7 +269,7 @@ void handle_frame(Server* s, Conn* c, const Header& h,
           sl.rd = sl.wr = 0;
           gen = sl.gen;
           c->slots.push_back(sid);
-          s->granted.emplace_back(sid, gen);
+          s->granted.push_back(Grant{sid, gen, threshold});
         } else {
           s->st_refused += 1;
         }
@@ -591,19 +612,21 @@ void* cdt_ingest_start(const char* host, int port, int num_streams,
 
 int cdt_ingest_port(void* h) { return ((Server*)h)->port; }
 
-int cdt_ingest_granted(void* h, int* slots, unsigned* gens, int cap) {
+int cdt_ingest_granted(void* h, int* slots, unsigned* gens,
+                       float* thresholds, int cap) {
   auto* s = (Server*)h;
   std::lock_guard<std::mutex> lk(s->reg_m);
   int n = 0;
-  for (auto& [sid, gen] : s->granted) {
+  for (auto& g : s->granted) {
     if (n >= cap) break;
-    slots[n] = sid;
-    gens[n] = gen;
+    slots[n] = g.sid;
+    gens[n] = g.gen;
+    thresholds[n] = g.threshold;  // NaN = server default
     // Activate: assemble may now pull this slot's audio (the control
     // plane scrubs the device lane before the tick that follows).
-    Slot& sl = *s->slots[sid];
+    Slot& sl = *s->slots[g.sid];
     std::lock_guard<std::mutex> slk(sl.m);
-    if (sl.open && sl.gen == gen) sl.pending = false;
+    if (sl.open && sl.gen == g.gen) sl.pending = false;
     ++n;
   }
   s->granted.erase(s->granted.begin(), s->granted.begin() + n);

@@ -744,6 +744,119 @@ class TestMulawQuarterBandwidthIngest:
             )
 
 
+class TestPerStreamThresholds:
+    """Multi-tenant sensitivity: each OPEN may carry its own confidence
+    threshold (serve/protocol.py, 4-byte f32le payload), installed on the
+    slot's device lane at grant time (stream/ring.py state.threshold) —
+    one XLA program serves every tenant mix, both socket backends."""
+
+    def test_engine_per_lane_thresholds(self, model_and_config):
+        variables, cfg = model_and_config
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=CHUNK, confidence_threshold=0.0,
+            smoothing_window=1, debounce_seconds=0.0, mesh=False,
+        )
+        det.reset_streams([0, 1], thresholds=[0.0, 1.1])
+        wave = synth.synthetic_cough(5, 2.0).astype(np.float32)
+        both = np.stack([wave, wave])
+        dets = det.process_chunk(both)
+        lane0 = [d for d in dets if d.stream == 0]
+        lane1 = [d for d in dets if d.stream == 1]
+        assert lane0, "threshold-0 lane must fire"
+        assert not lane1, "threshold-1.1 lane must never fire"
+        # None restores the detector default (0.0 here): lane 1 fires again.
+        det.reset_streams([1], thresholds=[None])
+        dets2 = det.process_chunk(both)
+        assert [d for d in dets2 if d.stream == 1]
+
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_server_two_tenants_different_thresholds(
+        self, model_and_config, backend
+    ):
+        if backend == "native":
+            from cough_detector_tpu.serve import native_ingest
+
+            if not native_ingest.available():
+                pytest.skip("no native toolchain")
+        wave = synth.synthetic_cough(5, 2.0).astype(np.float32)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        srv = _make_server(
+            model_and_config, num_streams=2, backend=backend
+        )
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as hot, \
+                    DetectionClient(host, port) as cold:
+                s_hot = hot.open_stream(threshold=0.0)
+                s_cold = cold.open_stream(threshold=1.1)
+                for t in range(n_chunks):
+                    seg = wave[t * CHUNK : (t + 1) * CHUNK]
+                    hot.send_audio(s_hot, seg)
+                    cold.send_audio(s_cold, seg)
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                got_hot = hot.events(timeout=5.0)
+                got_cold = cold.events(timeout=0.5)
+        assert got_hot, "threshold-0 tenant must receive events"
+        assert not got_cold, "threshold-1.1 tenant must receive none"
+
+    def test_slot_reuse_restores_default_threshold(self, model_and_config):
+        """A tenant's custom threshold must die with its slot: the next
+        tenant on the same lane (no threshold in OPEN) gets the server
+        default back, not the previous tenant's sensitivity."""
+        wave = synth.synthetic_cough(5, 2.0).astype(np.float32)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        srv = _make_server(model_and_config, num_streams=1)
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as a:
+                sid = a.open_stream(threshold=1.1)  # mute tenant
+                for t in range(n_chunks):
+                    a.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                assert not a.events(timeout=0.5)
+                a.close_stream(sid)
+            with DetectionClient(host, port) as b:
+                sid2 = b.open_stream()  # server default (0.0: every window)
+                for t in range(n_chunks):
+                    b.send_audio(sid2, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(
+                    lambda: srv.stats()["ticks"] >= 2 * n_chunks
+                )
+                assert b.events(timeout=5.0)
+
+    def test_malformed_open_payload_is_protocol_error(self, model_and_config):
+        """OPEN with a payload that is neither empty nor 4 bytes must get
+        an ERROR and cost nothing: the slot pool stays intact."""
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import protocol
+
+        with _make_server(model_and_config, num_streams=2) as srv:
+            host, port = srv.address
+            bad = socketlib.create_connection((host, port))
+            bad.sendall(protocol.encode(protocol.OPEN, 0, b"\x01\x02\x03"))
+            fr = protocol.read_frame(bad)
+            assert fr is not None and fr.type == protocol.ERROR
+            bad.close()
+            # NaN threshold is refused too (native parity: C++ checks
+            # isfinite).
+            bad2 = socketlib.create_connection((host, port))
+            import struct as structlib
+
+            bad2.sendall(protocol.encode(
+                protocol.OPEN, 0, structlib.pack("<f", float("nan"))
+            ))
+            fr2 = protocol.read_frame(bad2)
+            assert fr2 is not None and fr2.type == protocol.ERROR
+            bad2.close()
+            # Pool intact: both slots still grantable.
+            with DetectionClient(host, port) as c:
+                assert {c.open_stream(), c.open_stream()} == {0, 1}
+
+
 class TestNativeIngestWireFuzz:
     """Adversarial bytes against the C++ wire parser (cdt_ingest.cpp):
     seeded random garbage, truncated headers, oversized length fields

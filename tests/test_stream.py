@@ -29,7 +29,10 @@ def _mean_score_step(stream_cfg, chunk=1600, num_streams=2):
         return jnp.mean(windows, axis=1)
 
     step = make_stream_step(score_fn, FCFG, stream_cfg, chunk)
-    state = init_state(num_streams, chunk, 16000, stream_cfg.smoothing_window)
+    state = init_state(
+        num_streams, chunk, 16000, stream_cfg.smoothing_window,
+        stream_cfg.confidence_threshold,
+    )
     return step, state
 
 
@@ -162,11 +165,11 @@ class TestSmoothingDebounce:
         step = jax.jit(
             lambda s, c: ring.stream_step(
                 s, c, score_fn, window_samples=16000, hop_samples=4000,
-                sample_rate=16000, confidence_threshold=0.5,
+                sample_rate=16000,
                 debounce_seconds=10.0,
             )
         )
-        state = init_state(2, 4000, 16000, 1)
+        state = init_state(2, 4000, 16000, 1, 0.5)
         fires = np.zeros(2, int)
         for i in range(12):
             state, ev = step(state, jnp.zeros((2, 4000)))
