@@ -150,6 +150,13 @@ class StreamingDetector:
             )
 
         self._reset_fn = jax.jit(_reset_masked, donate_argnums=(0,))
+
+        def _set_thresholds(state, mask, thresholds):
+            return state._replace(
+                threshold=jnp.where(mask, thresholds, state.threshold)
+            )
+
+        self._set_thr_fn = jax.jit(_set_thresholds, donate_argnums=(0,))
         self._model = model
         self.reset()
 
@@ -206,6 +213,35 @@ class StreamingDetector:
             thr_dev = jax.device_put(thr_dev, stream_sharding(self.mesh))
         self._state = self._reset_fn(self._state, mask_dev, thr_dev)
         self._pending[mask] = 0.0
+
+    def set_thresholds(self, indices, thresholds) -> None:
+        """Change the given lanes' confidence thresholds MID-STREAM —
+        unlike reset_streams this scrubs nothing: ring audio, smoothing
+        history and the debounce clock all survive, matching the
+        reference's live-mutable `confidence_threshold` attribute
+        (reference: src/inference.py:70,229 — read at event time).
+        `thresholds` aligns with `indices`; a None entry restores the
+        configured default. Same fixed-shape one-program rule as
+        reset_streams; same serialization requirement vs a concurrent
+        tick dispatch."""
+        idx = np.asarray(list(indices), np.int64)
+        mask = np.zeros((self.num_streams,), bool)
+        mask[idx] = True
+        default = self.stream_config.confidence_threshold
+        thr = np.full((self.num_streams,), default, np.float32)
+        thr[idx] = np.asarray(
+            [default if t is None else float(t) for t in thresholds],
+            np.float32,
+        )
+        mask_dev, thr_dev = jnp.asarray(mask), jnp.asarray(thr)
+        if self.mesh is not None:
+            mask_dev = jax.device_put(mask_dev, stream_sharding(self.mesh))
+            thr_dev = jax.device_put(thr_dev, stream_sharding(self.mesh))
+        self._state = self._set_thr_fn(self._state, mask_dev, thr_dev)
+
+    def current_thresholds(self) -> np.ndarray:
+        """The live per-lane thresholds (one device fetch)."""
+        return np.asarray(self._state.threshold)
 
     def tick_async(self, tick: np.ndarray) -> dict:
         """Dispatch exactly ONE device tick — (num_streams, chunk_size)
@@ -300,7 +336,7 @@ class CoughDetectorInference:
     ):
         del device
         self.verbose = verbose
-        self.confidence_threshold = confidence_threshold
+        self._confidence_threshold = confidence_threshold
         self.debounce_seconds = debounce_seconds
         self._engine = StreamingDetector(
             model_path,
@@ -320,6 +356,19 @@ class CoughDetectorInference:
                 f"Model loaded: {self._engine.config.model.model_type} "
                 f"({self._engine.num_streams} stream)"
             )
+
+    @property
+    def confidence_threshold(self) -> float:
+        return self._confidence_threshold
+
+    @confidence_threshold.setter
+    def confidence_threshold(self, value: float) -> None:
+        """Live-mutable, like the reference's attribute (read at event
+        time, reference: src/inference.py:70,229): the new threshold
+        takes effect on the next window WITHOUT disturbing the ring
+        audio, smoothing history or debounce clock."""
+        self._confidence_threshold = float(value)
+        self._engine.set_thresholds([0], [float(value)])
 
     def predict(self, features: np.ndarray) -> Tuple[bool, float]:
         """(is_cough, p_cough) for a (1, H, T) or (B, 1, H, T) feature

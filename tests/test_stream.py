@@ -213,6 +213,44 @@ class TestStreamingDetector:
         second = det.process_chunk(w)
         assert [d.time_seconds for d in first] == [d.time_seconds for d in second]
 
+    def test_set_thresholds_mid_stream_preserves_state(self):
+        """set_thresholds changes sensitivity WITHOUT a scrub: ring
+        audio, smoothing history and the debounce clock all survive —
+        unlike reset_streams, whose job is tenant isolation."""
+        variables, cfg = _trained_like_variables()
+        det = StreamingDetector(
+            variables=variables, config=cfg, num_streams=2,
+            chunk_size=1600, confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0,
+        )
+        w = synth.fixture_batch(2, 3.0, seed=2)
+        # Phase 1 (default 0.0): both lanes fire.
+        d1 = det.process_chunk(w[:, :16000])
+        assert {d.stream for d in d1} == {0, 1}
+        # Host snapshots BEFORE the update (the jitted setter donates the
+        # state tree, so the old device arrays are consumed).
+        buffer_before = np.asarray(det._state.buffer)
+        last_fire_before = np.asarray(det._state.last_fire_window)
+        # Phase 2: mute lane 1 only, mid-stream.
+        det.set_thresholds([1], [1.1])
+        np.testing.assert_array_equal(
+            det.current_thresholds(),
+            np.asarray([0.0, 1.1], np.float32),
+        )
+        # Nothing but the threshold row changed: no scrub happened.
+        np.testing.assert_array_equal(
+            np.asarray(det._state.buffer), buffer_before
+        )
+        np.testing.assert_array_equal(
+            np.asarray(det._state.last_fire_window), last_fire_before
+        )
+        d2 = det.process_chunk(w[:, 16000:32000])
+        assert {d.stream for d in d2} == {0}
+        # Phase 3: None restores the configured default; lane 1 resumes.
+        det.set_thresholds([1], [None])
+        d3 = det.process_chunk(w[:, 32000:48000])
+        assert {d.stream for d in d3} == {0, 1}
+
     def test_uneven_chunks_buffered(self):
         variables, cfg = _trained_like_variables()
         det = StreamingDetector(
@@ -250,6 +288,41 @@ class TestReferenceAPIWrapper:
             result = r or result
         assert result is not None
         assert fired and 0.0 <= fired[0] <= 1.0
+
+    def test_confidence_threshold_is_live_mutable(self, tmp_path):
+        """The reference reads self.confidence_threshold at event time
+        (src/inference.py:70,229), so users mutate it live; the facade
+        must honor that — the new value applies from the next window,
+        with stream state intact."""
+        from cough_detector_tpu.stream import CoughDetectorInference
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        variables, cfg = _trained_like_variables()
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        eng = CoughDetectorInference(
+            str(pt), confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0, verbose=False,
+        )
+        w = synth.synthetic_cough(3, 3.0)
+        hits = [
+            eng.process_audio_chunk(w[i : i + 1600]) is not None
+            for i in range(0, 16000, 1600)
+        ]
+        assert any(hits)  # threshold 0: fires once windows complete
+        eng.confidence_threshold = 1.1  # live mutation, reference-style
+        assert eng.confidence_threshold == 1.1
+        hits2 = [
+            eng.process_audio_chunk(w[i : i + 1600]) is not None
+            for i in range(16000, 32000, 1600)
+        ]
+        assert not any(hits2)
+        eng.confidence_threshold = 0.0
+        hits3 = [
+            eng.process_audio_chunk(w[i : i + 1600]) is not None
+            for i in range(32000, 48000, 1600)
+        ]
+        assert any(hits3)
 
     def test_predict_feature_tensor(self, tmp_path):
         from cough_detector_tpu.stream import CoughDetectorInference
