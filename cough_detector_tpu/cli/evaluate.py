@@ -56,7 +56,7 @@ def _dataset_eval(args) -> None:
 
     from ..data.datasets import BatchLoader, CoughDataset
     from ..data.shards import MANIFEST, ShardLoader, dequantize_jnp
-    from ..models import create_model
+    from ..models import model_from_config
     from ..ops import frontend
     from ..parallel import make_mesh, replicate
     from ..stream.detector import _load_any_checkpoint
@@ -65,7 +65,7 @@ def _dataset_eval(args) -> None:
     from ..train.steps import eval_step, create_train_state, make_optimizer
 
     variables, config = _load_any_checkpoint(args.model)
-    model = create_model(config.model.model_type)
+    model = model_from_config(config.model)
     if (Path(args.data_dir) / MANIFEST).exists():
         # Packed shard directory (cdt-pack): decode-free bulk scoring.
         loader = ShardLoader(

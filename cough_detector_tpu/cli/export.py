@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    from ..models import create_model
+    from ..models import model_from_config
     from ..models.export import export_stablehlo
     from ..models.fuse import fold_batchnorm
     from ..stream.detector import _load_any_checkpoint
@@ -50,7 +50,7 @@ def main(argv=None) -> None:
         wrote.append(str(path))
 
     if args.stablehlo:
-        model = create_model(config.model.model_type)
+        model = model_from_config(config.model)
         text = export_stablehlo(model, variables, config, args.batch_size)
         path = out / "serving.stablehlo.txt"
         path.write_text(text)

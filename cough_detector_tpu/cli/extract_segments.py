@@ -111,12 +111,12 @@ def _make_scorer(model_path: str):
     import jax
     import numpy as np
 
-    from ..models import create_model
+    from ..models import model_from_config
     from ..ops import frontend
     from ..stream.detector import _load_any_checkpoint
 
     variables, mcfg = _load_any_checkpoint(model_path)
-    model = create_model(mcfg.model.model_type)
+    model = model_from_config(mcfg.model)
 
     @jax.jit
     def score(batch):

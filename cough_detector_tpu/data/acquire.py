@@ -163,6 +163,7 @@ def select_coughvid(
     cough_threshold: float = 0.8,
     non_cough_threshold: float = 0.2,
     seed: int = 42,
+    fallback_uuids=None,
 ):
     """Reference-exact COUGHVID selection over a metadata frame; returns
     (coughs, non_coughs) row subsets (reference: setup_coughvid.py:155-235).
@@ -176,7 +177,13 @@ def select_coughvid(
         confidence < 0.5 → non-cough;
       * fallback when high-confidence coughs < 100 ALONE
         (setup_coughvid.py:207): shuffle everything, 80 % → cough,
-        20 % → non-cough;
+        20 % → non-cough. The reference's fallback pool is ALL audio
+        files on disk — including files with no metadata row
+        (setup_coughvid.py:209-210 shuffles `audio_files`, not df rows) —
+        so callers with a file listing pass it as `fallback_uuids`
+        (uuid stems); the fallback then splits that full pool, returned
+        as uuid-only row frames. Without it, the metadata rows are the
+        pool (the best available approximation);
       * coughs ranked by confidence, capped at max_coughs
         (setup_coughvid.py:222-227);
       * non-coughs SHUFFLE-then-capped at 1.5× coughs
@@ -203,10 +210,17 @@ def select_coughvid(
 
     fallback = len(coughs) < 100
     if fallback:
-        order = rng.permutation(len(meta))
-        cut = int(len(meta) * 0.8)
-        coughs = meta.iloc[order[:cut]]
-        non_coughs = meta.iloc[order[cut:]]
+        import pandas as pd
+
+        pool = (
+            pd.DataFrame({"uuid": [str(u) for u in fallback_uuids]})
+            if fallback_uuids is not None
+            else meta
+        )
+        order = rng.permutation(len(pool))
+        cut = int(len(pool) * 0.8)
+        coughs = pool.iloc[order[:cut]]
+        non_coughs = pool.iloc[order[cut:]]
 
     if fallback:
         # Fallback rows all carry the same placeholder confidence (0.5,
@@ -275,7 +289,13 @@ def prepare_coughvid(
     stats_missing = n_rows - len(meta)
 
     coughs, non_coughs = select_coughvid(
-        meta, max_coughs, cough_threshold, non_cough_threshold, seed
+        meta, max_coughs, cough_threshold, non_cough_threshold, seed,
+        # The reference's <100-cough fallback shuffles ALL files on disk
+        # — metadata-less files included (setup_coughvid.py:209-210) —
+        # not metadata rows. Sorted for a deterministic pool order (the
+        # reference inherits rglob's fs-dependent order; our shuffles
+        # are seeded anyway, divergence documented in docs/PARITY.md).
+        fallback_uuids=sorted(uuid_to_file.keys()),
     )
 
     # "missing" now counts metadata rows without an audio file, excluded

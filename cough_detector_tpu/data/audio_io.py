@@ -20,7 +20,7 @@ import shutil
 import struct
 import subprocess
 from pathlib import Path
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 
@@ -134,17 +134,45 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def _ffprobe_rate(path: PathLike) -> Optional[int]:
+    """The first audio stream's native sample rate, or None if ffprobe is
+    unavailable or the probe fails (callers fall back gracefully)."""
+    if shutil.which("ffprobe") is None:
+        return None
+    try:
+        out = subprocess.run(
+            ["ffprobe", "-v", "error", "-select_streams", "a:0",
+             "-show_entries", "stream=sample_rate", "-of", "csv=p=0",
+             str(path)],
+            capture_output=True, check=True,
+        ).stdout
+        rate = int(out.strip().splitlines()[0])
+        return rate or None
+    except (subprocess.CalledProcessError, ValueError, IndexError):
+        return None
+
+
 def decode_with_ffmpeg(
     path: PathLike, target_sr: int = None
 ) -> Tuple[np.ndarray, int]:
-    """Decode any format ffmpeg understands → (channels, samples) float32."""
+    """Decode any format ffmpeg understands → (channels, samples) float32.
+
+    Decodes at the file's NATIVE rate whenever ffprobe can report it, so
+    the polyphase bank (resample_np — the same kernels as the device
+    path) performs ALL resampling, matching the reference's
+    decode-native-then-Resample pipeline (reference: src/dataset.py:
+    142-152). Forcing `-ar` here instead would let ffmpeg's own swr
+    resampler run first — and with a target above 16 kHz, a hardcoded
+    16 kHz decode would silently band-limit every compressed clip.
+    Falls back to ffmpeg-side resampling at target_sr only when the
+    probe fails."""
     if not ffmpeg_available():
         raise AudioDecodeError(
             f"Failed to load audio file: {path}\n"
             "Compressed formats require an ffmpeg binary on PATH "
             "(install ffmpeg), or pre-convert to .wav."
         )
-    sr = target_sr or 16000
+    sr = _ffprobe_rate(path) or target_sr or 16000
     cmd = [
         "ffmpeg", "-v", "error", "-i", str(path),
         "-f", "f32le", "-acodec", "pcm_f32le", "-ac", "1",
@@ -159,12 +187,17 @@ def decode_with_ffmpeg(
     return np.frombuffer(out, np.float32).reshape(1, -1).copy(), sr
 
 
-def decode_audio(path: PathLike) -> Tuple[np.ndarray, int]:
-    """(channels, samples) float32 + rate, any supported container."""
+def decode_audio(
+    path: PathLike, target_sr: int = None
+) -> Tuple[np.ndarray, int]:
+    """(channels, samples) float32 + rate, any supported container.
+    `target_sr` is only a FALLBACK hint for compressed formats whose
+    native rate cannot be probed — decode is native-rate otherwise, with
+    resampling owned by the caller's polyphase path."""
     p = Path(path)
     if p.suffix.lower() == ".wav":
         return read_wav(p)
-    return decode_with_ffmpeg(p)
+    return decode_with_ffmpeg(p, target_sr)
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +230,7 @@ def resample_np(wave: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
 def load_mono_16k(path: PathLike, target_sr: int = 16000) -> np.ndarray:
     """Decode → mono mean → resample to target: the loader-side prefix of
     the reference pipeline (reference: src/dataset.py:142-152)."""
-    wave, sr = decode_audio(path)
+    wave, sr = decode_audio(path, target_sr)
     mono = wave.mean(axis=0, keepdims=True)
     if sr != target_sr:
         mono = resample_np(mono, sr, target_sr)

@@ -145,16 +145,16 @@ def prepare_dataset_split(
         indices, test_size=val_split, random_state=random_state, stratify=labels
     )
 
-    train_ds = CoughDataset(data_dir)
-    train_ds.samples = [full.samples[i] for i in train_idx]
-    train_ds.class_counts = train_ds._count_classes()
-    train_ds.sample_weights = train_ds._compute_sample_weights()
+    # One directory scan, two views: rebuilding CoughDataset per split
+    # would re-walk the class directories (slow on network mounts) just
+    # to overwrite its samples.
+    def view(idx) -> CoughDataset:
+        ds = CoughDataset.__new__(CoughDataset)
+        ds.data_dir = full.data_dir
+        ClipDataset.__init__(ds, [full.samples[i] for i in idx])
+        return ds
 
-    val_ds = CoughDataset(data_dir)
-    val_ds.samples = [full.samples[i] for i in val_idx]
-    val_ds.class_counts = val_ds._count_classes()
-    val_ds.sample_weights = val_ds._compute_sample_weights()
-    return train_ds, val_ds
+    return view(train_idx), view(val_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +183,18 @@ def _crop_window(
     # within) and the source index (c + j - shift) lie inside [0, n) —
     # for clips shorter than the segment the reference's shift drops
     # content at the clip edge before padding.
-    c = (n - segment_samples) // 2
+    #
+    # c truncates toward ZERO, not floor: the reference pad branch puts
+    # pad//2 zeros on the LEFT (left = floor(pad/2), src/preprocessing.py
+    # :358-385 — same as ops.frontend.pad_or_trim), so for n < segment
+    # the window origin is -(pad//2) = -((segment-n)//2). Floor division
+    # of the signed difference would round the other way on odd pads and
+    # place every short clip one sample right of where the reference
+    # (and the serving front end) put it.
+    if n >= segment_samples:
+        c = (n - segment_samples) // 2
+    else:
+        c = -((segment_samples - n) // 2)
     out = np.zeros(segment_samples, np.float32)
     j_lo = max(-c, shift - c, 0)
     j_hi = min(n - c, n - c + shift, segment_samples)
@@ -414,11 +425,6 @@ class BatchLoader(_EpochKeyedLoader):
                     _, evicted = self._cache.popitem(last=False)
                     self._cache_used -= evicted.nbytes
         return clip
-
-    def _load(self, path: str, shift: int = 0) -> np.ndarray:
-        return _crop_window(
-            self._load_full(path), self.cfg.segment_samples, shift
-        )
 
     def _shifts_for(self, n: int, rng: np.random.Generator) -> np.ndarray:
         if self.time_shift_prob <= 0.0 or self.time_shift_limit <= 0.0:

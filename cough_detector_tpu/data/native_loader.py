@@ -27,7 +27,10 @@ _build_failed = False
 
 
 def _build() -> Optional[Path]:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    # Strict `>`: an equal-mtime .so (copied tree, archive extraction,
+    # mtime-preserving sync) may be stale or foreign-platform — rebuild,
+    # matching serve/native_ingest.py and bench._ensure_loadgen.
+    if _LIB.exists() and _LIB.stat().st_mtime > _SRC.stat().st_mtime:
         return _LIB
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",

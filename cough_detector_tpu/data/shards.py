@@ -16,10 +16,12 @@ removes decode from the epoch loop entirely:
     determinism contract (epoch k's order derives from (seed, k) only, so
     resume replays bit-exact), same weighted/shuffle/drop_last semantics.
     Batches come from memory-mapped .npy files — a gather + memcpy, no
-    decode — and are yielded as int16; dequantization (waves / 32767)
+    decode — and are yielded as int16; dequantization (waves / 32768)
     runs ON DEVICE inside the train step, halving H2D bytes.
 
-Layout (format version 1):
+Layout (format version 2 — v2 moved the int16 scale from 32767 to
+32768 so the decode→pack→load round trip is BIT-EXACT; v1 corpora fail
+the version check loudly and must re-pack):
 
     <dir>/manifest.json                 counts, geometry, shard table
     <dir>/waves-00000.npy               int16 (N, segment_samples)
@@ -42,13 +44,20 @@ from ..config import FeatureConfig
 from .datasets import _EpochKeyedLoader
 
 MANIFEST = "manifest.json"
-FORMAT_VERSION = 1
-INT16_SCALE = 32767.0
+FORMAT_VERSION = 2
+# 32768 — the DECODER's divisor (audio_io reads int16 as s/32768, as does
+# native/cdt_loader.cpp) — NOT 32767: decoded WAV samples are exactly
+# k/32768, so round(x*32768) recovers k and the pack→load round trip is
+# bit-exact. A 32767 scale (format v1) perturbed every |k| >= 16385 by
+# one LSB, silently breaking shard-fed vs decode-fed equivalence.
+INT16_SCALE = 32768.0
 
 
 def quantize(waves: np.ndarray) -> np.ndarray:
     """float32 PCM (≈[-1, 1]) → int16. WAV sources are int16 PCM to begin
-    with, so round-tripping through the decoder loses nothing."""
+    with (decoded as k/32768), so round-tripping through the decoder is
+    bit-exact; inputs outside the int16 lattice round to the nearest
+    code, with +1.0 clipping to 32767."""
     return np.clip(
         np.round(waves * INT16_SCALE), -32768, 32767
     ).astype(np.int16)

@@ -7,6 +7,7 @@ from .classifiers import (
     count_parameters,
     create_model,
     init_model,
+    model_from_config,
     predict,
 )
 from .convert import (
@@ -20,7 +21,7 @@ __all__ = [
     "CoughDetectorResidual",
     "CoughDetectorSmall",
     "count_parameters",
-    "create_model",
+    "create_model", "model_from_config",
     "init_model",
     "predict",
     "torch_state_dict_to_variables",

@@ -188,6 +188,32 @@ def create_model(model_type: str = "standard", **kwargs) -> nn.Module:
     return _MODELS[model_type](**kwargs)
 
 
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def model_from_config(model_config, precision_mode: str = "high") -> nn.Module:
+    """Construct the classifier from a ModelConfig, honoring EVERY field
+    it declares — num_classes, dropout (standard/residual; the small
+    model has no dropout layer, faithful to reference src/model.py:
+    143-207), and compute_dtype. `create_model(type)` alone silently
+    ignores them, which would let a checkpoint's config_full record a
+    configuration the weights were never trained under."""
+    dtype = _DTYPES.get(model_config.compute_dtype)
+    if dtype is None:
+        raise ValueError(
+            f"compute_dtype must be one of {sorted(_DTYPES)}, "
+            f"got {model_config.compute_dtype!r}"
+        )
+    kwargs = {
+        "num_classes": model_config.num_classes,
+        "dtype": dtype,
+        "precision_mode": precision_mode,
+    }
+    if model_config.model_type in ("standard", "residual"):
+        kwargs["dropout"] = model_config.dropout
+    return create_model(model_config.model_type, **kwargs)
+
+
 def init_model(
     model: nn.Module, rng: jax.Array, feature_shape: Tuple[int, int]
 ) -> dict:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, StreamConfig
-from ..models import create_model
+from ..models import model_from_config
 from ..ops import frontend
 from ..parallel import make_mesh, shard_streams, stream_sharding
 from . import ring
@@ -116,8 +116,8 @@ class StreamingDetector:
             config.features.sample_rate * self.stream_config.window_duration
         )
 
-        model = create_model(
-            config.model.model_type, precision_mode=precision_mode
+        model = model_from_config(
+            config.model, precision_mode=precision_mode
         )
         self._variables = jax.tree_util.tree_map(jnp.asarray, variables)
         if mesh is not None:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..models import create_model
+from ..models import model_from_config
 from ..ops import frontend
 from ..parallel import batch_sharding, make_mesh
 
@@ -95,7 +95,7 @@ def score_recording(
     fcfg = config.features
     window = fcfg.segment_samples
     hop = int(fcfg.sample_rate * hop_duration)
-    model = create_model(config.model.model_type)
+    model = model_from_config(config.model)
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()

@@ -34,7 +34,7 @@ from ..data.datasets import (
     prepare_dataset_split,
 )
 from ..data.shards import ShardLoader, dequantize_jnp
-from ..models import count_parameters, create_model, init_model
+from ..models import count_parameters, init_model, model_from_config
 from ..ops import frontend
 from ..parallel import batch_sharding, make_mesh, replicate
 from . import checkpoint as ckpt
@@ -218,7 +218,7 @@ def train(
     class_weights = jnp.asarray([w0, w1], jnp.float32)
     print(f"Class weights: non-cough={w0:.2f}, cough={w1:.2f}")
 
-    model = create_model(config.model.model_type)
+    model = model_from_config(config.model)
     variables = init_model(model, jax.random.PRNGKey(tcfg.seed), fcfg.feature_shape)
     print(
         f"Model: {config.model.model_type} "

@@ -247,13 +247,15 @@ std::vector<float> resample(const std::vector<float>& x, long orig_sr,
 // Center pad/trim with an optional window displacement: final[j] =
 // x[c + j - shift] iff both c+j and c+j-shift lie in [0, n), matching the
 // Python loader's _crop_window (reference shift-then-center-trim
-// semantics). Note: C++ '/' truncates toward zero while the Python side
-// uses floor division; flooring keeps odd (n - segment) cases identical.
+// semantics). The window origin truncates toward ZERO: the reference pad
+// branch puts floor(pad/2) zeros on the LEFT, so for n < segment the
+// origin is -((segment - n) / 2) — C++ division of positives already
+// truncates, which is exactly right on odd pads.
 void center_fit(const std::vector<float>& x, float* dst, long segment,
                 long shift = 0) {
   long n = (long)x.size();
   long c = (n - segment) >= 0 ? (n - segment) / 2
-                              : -(((segment - n) + 1) / 2);  // floor div
+                              : -((segment - n) / 2);
   memset(dst, 0, segment * sizeof(float));
   long j_lo = std::max({-c, shift - c, 0L});
   long j_hi = std::min({n - c, n - c + shift, segment});

@@ -214,6 +214,33 @@ class TestReviewFixes:
             got = _crop_window(wave, 16000, shift)
             np.testing.assert_allclose(got, want, atol=1e-7, err_msg=f"L={L},a={shift}")
 
+    def test_crop_window_odd_pad_matches_reference(self):
+        """Clips shorter than the segment by an ODD amount: the reference
+        pad branch puts floor(pad/2) zeros on the LEFT (same as
+        ops.frontend.pad_or_trim). A floor-division window origin placed
+        every odd-pad clip one sample right of the reference — caught by
+        sweeping EVERY short length, not just even pads."""
+        from cough_detector_tpu.data.datasets import _crop_window
+
+        rng = np.random.default_rng(1)
+        seg = 16000
+        for n in list(range(1, 24)) + [15985, 15999, 15998, 8001, 12345]:
+            wave = rng.standard_normal(n).astype(np.float32)
+            want = gold.pad_or_trim(torch.from_numpy(wave), seg).numpy()
+            got = _crop_window(wave, seg)
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+        # Shifted short clips still obey shift-then-center-pad semantics.
+        for n, shift in [(15999, 40), (8001, -25), (15985, 7)]:
+            wave = rng.standard_normal(n).astype(np.float32)
+            shifted = np.zeros(n, np.float32)
+            if shift >= 0:
+                shifted[shift:] = wave[: n - shift]
+            else:
+                shifted[:shift] = wave[-shift:]
+            want = gold.pad_or_trim(torch.from_numpy(shifted), seg).numpy()
+            got = _crop_window(wave, seg, shift)
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n},a={shift}")
+
     def test_loader_crop_shift_augmentation(self, data_dir):
         ds = CoughDataset(data_dir)
         plain = BatchLoader(ds, 4, FeatureConfig(), num_workers=2, seed=1)
@@ -557,6 +584,49 @@ class TestIngestNegativeSelections:
         assert stats["cough"] == 56
         assert stats["non_cough"] == 14
         assert stats["failed"] == 0
+
+    def test_coughvid_fallback_pool_includes_metadataless_files(
+        self, tmp_path
+    ):
+        """The reference's <100-cough fallback shuffles ALL audio files
+        on disk — including files with NO metadata row
+        (setup_coughvid.py:209-210 splits `audio_files`, not df rows).
+        Dropping metadata-less files would change the training-set
+        composition, the axis the reference postmortem said mattered
+        most."""
+        import pandas as pd
+
+        from cough_detector_tpu.data import acquire
+
+        src = tmp_path / "cv"
+        src.mkdir()
+        # 10 metadata rows (all low-confidence → fallback fires), plus
+        # 10 files with no metadata row at all.
+        pd.DataFrame(
+            [{"uuid": f"m{i}", "cough_detected": 0.5, "status": "covid"}
+             for i in range(10)]
+        ).to_csv(src / "metadata_compiled.csv", index=False)
+        for i in range(10):
+            audio_io.write_wav(
+                src / f"m{i}.wav", synth.synthetic_cough(i, 0.5), 16000
+            )
+        for i in range(10):
+            audio_io.write_wav(
+                src / f"orphan{i}.wav",
+                synth.synthetic_non_cough(100 + i, 0.5), 16000,
+            )
+        out = tmp_path / "out"
+        stats = acquire.prepare_coughvid(str(src), str(out))
+        # Fallback pool = all 20 files: 80/20 → 16 coughs / 4 non-coughs,
+        # and orphan files MUST appear in the output.
+        assert stats["cough"] == 16 and stats["non_cough"] == 4
+        converted = {
+            p.name
+            for d in ("cough", "non_cough")
+            for p in (out / d).glob("coughvid_*.wav")
+        }
+        assert any("orphan" in n for n in converted)
+        assert stats["missing"] == 0
 
     def test_synthetic_negative_menu_covers_reference_kinds(self):
         """prepare_data's pink-noise and ambient multi-sine negatives

@@ -55,6 +55,38 @@ class TestArchitecture:
         m = create_model("residual", n_mels=90, in_channels=1, num_classes=2)
         assert m.num_classes == 2
 
+    def test_model_from_config_honors_every_field(self):
+        """ModelConfig.num_classes/dropout/compute_dtype must actually
+        reach the constructed model — a type-only factory call silently
+        ignored them, so checkpoints' config_full could describe a
+        configuration the weights were never trained under."""
+        import dataclasses
+
+        from cough_detector_tpu.config import ModelConfig
+        from cough_detector_tpu.models import init_model, model_from_config
+
+        mc = ModelConfig(
+            model_type="residual", num_classes=3, dropout=0.25,
+            compute_dtype="bfloat16",
+        )
+        m = model_from_config(mc)
+        assert m.num_classes == 3
+        assert m.dropout == 0.25
+        assert m.dtype == jnp.bfloat16
+        variables = init_model(m, jax.random.PRNGKey(0), (90, 101))
+        out = m.apply(variables, jnp.ones((2, 90, 101)), train=False)
+        assert out.shape == (2, 3)
+        # The small model has no dropout layer (reference-faithful): the
+        # field must not be forced onto it.
+        small = model_from_config(
+            dataclasses.replace(mc, model_type="small")
+        )
+        assert not hasattr(small, "dropout")
+        with pytest.raises(ValueError, match="compute_dtype"):
+            model_from_config(
+                dataclasses.replace(mc, compute_dtype="float16")
+            )
+
     def test_nchw_input_accepted(self):
         model, variables = _init("small")
         a = model.apply(variables, jnp.ones((2, 1, 90, 101)), train=False)

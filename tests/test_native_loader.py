@@ -54,6 +54,34 @@ class TestNativeLoader:
                 want = np.pad(mono, (pad // 2, pad - pad // 2))
             np.testing.assert_allclose(row, want, atol=2e-5)
 
+    def test_odd_pad_centers_like_reference(self, tmp_path):
+        """Clips shorter than the segment by an ODD amount must get
+        floor(pad/2) zeros on the LEFT (reference pad semantics, same as
+        ops.frontend.pad_or_trim) — in BOTH loader tiers. Guards the
+        center_fit/_crop_window window-origin rounding."""
+        import torch
+
+        import golden_ref as gold
+        from cough_detector_tpu.data.datasets import _crop_window
+
+        rng = np.random.default_rng(7)
+        paths = []
+        lengths = [15999, 8001, 15985]
+        for i, n in enumerate(lengths):
+            w = rng.standard_normal(n).astype(np.float32) * 0.5
+            p = tmp_path / f"odd{i}.wav"
+            audio_io.write_wav(p, w, 16000)
+            paths.append(str(p))
+        waves, n_ok, errors = native_loader.load_batch(paths, 16000, 16000)
+        assert n_ok == len(paths) and errors == ""
+        for row, p in zip(waves, paths):
+            mono = audio_io.load_mono_16k(p, 16000)
+            want = gold.pad_or_trim(torch.from_numpy(mono), 16000).numpy()
+            np.testing.assert_array_equal(row, want, err_msg=p)
+            np.testing.assert_array_equal(
+                _crop_window(mono, 16000), want, err_msg=p
+            )
+
     def test_bad_file_quarantined(self, tmp_path):
         bad = tmp_path / "bad.wav"
         bad.write_bytes(b"not audio")

@@ -47,9 +47,11 @@ def packed(data_dir, tmp_path):
 
 
 class TestPackRoundTrip:
-    def test_shards_match_decode_path_within_quantization(self, packed):
+    def test_shards_match_decode_path_within_half_lsb(self, packed):
         """Sequential ShardLoader batches must equal the decode-path
-        BatchLoader batches up to int16 quantization (±0.5/32767)."""
+        BatchLoader batches to within half an int16 LSB — the resampled
+        (22.05 kHz) fixtures leave the k/32768 lattice, so quantization
+        is genuinely rounding for them."""
         ds, shard_dir, manifest = packed
         assert manifest["n_clips"] == len(ds) == 20
         assert len(manifest["shards"]) == 3  # 7 + 7 + 6
@@ -61,6 +63,31 @@ class TestPackRoundTrip:
             np.testing.assert_allclose(
                 dequantize(sw), dw, atol=0.5 / INT16_SCALE + 1e-7
             )
+
+    def test_native_rate_sources_round_trip_bit_exactly(self, tmp_path):
+        """16 kHz WAV sources need no resampling: their decoded samples
+        are exactly k/32768, and the format-v2 quantizer uses the
+        decoder's own scale, so pack→load is LOSSLESS (a 32767 scale —
+        format v1 — perturbed every |k| >= 16385 by one LSB)."""
+        d = tmp_path / "native_rate"
+        for label, gen in [
+            ("cough", synth.synthetic_cough),
+            ("non_cough", synth.synthetic_non_cough),
+        ]:
+            sub = d / label
+            sub.mkdir(parents=True)
+            for i in range(4):
+                write_wav(
+                    sub / f"{i}.wav", gen(seed=i, duration_s=1.0), 16000
+                )
+        ds = CoughDataset(str(d))
+        out = tmp_path / "shards16k"
+        write_shards(ds, str(out), FCFG, shard_size=8, num_workers=2)
+        direct = BatchLoader(ds, 8, FCFG, num_workers=2)
+        sl = ShardLoader(str(out), 8)
+        for (dw, dl), (sw, sli) in zip(direct, sl):
+            np.testing.assert_array_equal(dl, sli)
+            np.testing.assert_array_equal(dequantize(sw), dw)
 
     def test_class_counts_and_weights_match_dataset(self, packed):
         ds, shard_dir, _ = packed
