@@ -145,6 +145,7 @@ def speed_perturbation(
     key: jax.Array,
     p: float,
     factors: Tuple[float, ...] = (0.9, 0.95, 1.05, 1.1),
+    sample_rate: int = 16000,
 ) -> jnp.ndarray:
     """Opt-in speed perturbation (the reference disables its own version
     because of CPU memory issues, src/augmentation.py:107-117; this one is
@@ -166,8 +167,11 @@ def speed_perturbation(
 
     out = waves
     for i, f in enumerate(factors):
-        virtual_sr = int(round(16000 / f))
-        stretched = pad_or_trim(resample(waves, 16000, virtual_sr), s)
+        # The true time base, not a hardcoded 16 kHz: a wrong rate here
+        # mis-scales every speed factor and computes the resampler's
+        # anti-alias filters for the wrong Nyquist.
+        virtual_sr = int(round(sample_rate / f))
+        stretched = pad_or_trim(resample(waves, sample_rate, virtual_sr), s)
         out = jnp.where((apply & (pick == i))[:, None], stretched, out)
     return out
 
@@ -179,6 +183,7 @@ def augment_waveforms(
     noise_bank: Optional[jnp.ndarray] = None,
     use_speed_perturbation: bool = False,
     use_time_shift: bool = True,
+    sample_rate: int = 16000,
 ) -> jnp.ndarray:
     """The full reference chain (reference: src/augmentation.py:249-268).
 
@@ -193,7 +198,7 @@ def augment_waveforms(
     if use_time_shift:
         waves = time_shift(waves, k1, p)
     if use_speed_perturbation:
-        waves = speed_perturbation(waves, k5, p)
+        waves = speed_perturbation(waves, k5, p, sample_rate=sample_rate)
     waves = volume_perturbation(waves, k2, p)
     waves = add_gaussian_noise(waves, k3, p)
     if noise_bank is not None and noise_bank.shape[0] > 0:

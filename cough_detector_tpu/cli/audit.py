@@ -51,6 +51,11 @@ def main(argv=None) -> None:
         variables, mcfg = _load_any_checkpoint(args.model)
         det = StreamingDetector(variables=variables, config=mcfg)
         scorer = det.scores_for
+        # Crop/score on the CHECKPOINT's geometry, not the default: a
+        # model trained at another segment length or rate would
+        # otherwise be scored on mis-framed windows — every
+        # label_disagreement count bogus with no error anywhere.
+        cfg = mcfg.features
 
     report = Path(args.report).open("w")
     counts = {

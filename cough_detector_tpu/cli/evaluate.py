@@ -323,10 +323,14 @@ def _calibrate(args) -> None:
         replayed = _replay_events(
             series[name], args.threshold, debounce_windows, hop, window, sr
         )
-        assert len(live) == len(replayed), (
-            f"replay self-check failed on {name}: engine {len(live)} "
-            f"events vs replay {len(replayed)}"
-        )
+        if len(live) != len(replayed):
+            # A hard error, not `assert`: under `python -O` asserts are
+            # stripped and the sweep would print a "self_check" line for
+            # a validation that never ran.
+            raise SystemExit(
+                f"replay self-check failed on {name}: engine {len(live)} "
+                f"events vs replay {len(replayed)}"
+            )
 
     sweep = []
     for thr in np.round(np.arange(0.05, 0.96, 0.05), 2):

@@ -164,6 +164,16 @@ def main(argv=None) -> None:
     if not files:
         raise SystemExit(f"No recordings under {args.input_dir}")
 
+    if args.model is None and (
+        args.min_confidence is not None or args.max_confidence is not None
+    ):
+        # Silently ignoring the bounds would write EVERY candidate while
+        # the user believes they curated a cough-only set — the poisoned
+        # corpus failure this tool exists to prevent.
+        raise SystemExit(
+            "--min-confidence/--max-confidence require --model: without a "
+            "scorer there is nothing to filter on"
+        )
     scorer = _make_scorer(args.model) if args.model is not None else None
     conf_lo = args.min_confidence if args.min_confidence is not None else -1.0
     conf_hi = args.max_confidence if args.max_confidence is not None else 2.0

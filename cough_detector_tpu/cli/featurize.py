@@ -74,7 +74,9 @@ def main(argv=None) -> None:
     def featurize(waves, key):
         waves = frontend.peak_normalize(waves)
         if args.augment:
-            waves = augment_waveforms(waves, key, p=0.3)
+            waves = augment_waveforms(
+                waves, key, p=0.3, sample_rate=cfg.sample_rate
+            )
         # Fused Pallas kernel on TPU (hybrid for contrast configs), jnp
         # chain on CPU — same outputs, ~3x faster ingest on the chip.
         return frontend.extract_features_fast(waves, cfg)
@@ -87,7 +89,12 @@ def main(argv=None) -> None:
     n = 0
     for waves, labels in loader:
         key, sub = jax.random.split(key)
-        waves, real = pad_to_multiple(waves, n_dev)
+        # Pad the tail batch to the FULL batch shape, not just a
+        # device-count multiple: a shorter final batch is a distinct XLA
+        # program, and a recompile over the tunneled chip costs
+        # 30 s-5 min — dwarfing the wasted rows' compute.
+        waves, real = pad_to_multiple(waves, args.batch_size)
+        waves, _ = pad_to_multiple(waves, n_dev)
         dev_waves = (
             jax.device_put(waves, data_sh) if mesh is not None
             else jnp.asarray(waves)

@@ -133,6 +133,10 @@ class StreamingDetector:
             return jax.nn.softmax(logits, axis=-1)[:, 1]
 
         self._score_fn = score_fn
+        # Jitted twin for bulk callers (scores_for: audit, calibrate):
+        # eager _score_fn dispatches dozens of ops per call — round-trip
+        # bound over the dev tunnel — where one fused program suffices.
+        self._score_jit = jax.jit(score_fn)
         self._step = ring.make_stream_step(
             score_fn, fcfg, self.stream_config, chunk_size
         )
@@ -196,23 +200,33 @@ class StreamingDetector:
         restores the detector's configured default. Non-reset lanes keep
         their current thresholds. Same fixed-shape rule: the threshold
         vector is always (num_streams,), so this stays one program."""
+        mask, mask_dev, thr_dev = self._lane_mask_and_thresholds(
+            indices, thresholds
+        )
+        self._state = self._reset_fn(self._state, mask_dev, thr_dev)
+        self._pending[mask] = 0.0
+
+    def _lane_mask_and_thresholds(self, indices, thresholds):
+        """(host mask, device mask, device thresholds) for a lane subset —
+        the single owner of the fixed-(num_streams,)-shape rule and the
+        mesh placement, shared by reset_streams and set_thresholds so
+        lane addressing can never drift between them. A None thresholds
+        (or None entry) means the configured default."""
         idx = np.asarray(list(indices), np.int64)
         mask = np.zeros((self.num_streams,), bool)
         mask[idx] = True
         default = self.stream_config.confidence_threshold
         thr = np.full((self.num_streams,), default, np.float32)
         if thresholds is not None:
-            per_lane = [
-                default if t is None else float(t) for t in thresholds
-            ]
-            thr[idx] = np.asarray(per_lane, np.float32)
-        mask_dev = jnp.asarray(mask)
-        thr_dev = jnp.asarray(thr)
+            thr[idx] = np.asarray(
+                [default if t is None else float(t) for t in thresholds],
+                np.float32,
+            )
+        mask_dev, thr_dev = jnp.asarray(mask), jnp.asarray(thr)
         if self.mesh is not None:
             mask_dev = jax.device_put(mask_dev, stream_sharding(self.mesh))
             thr_dev = jax.device_put(thr_dev, stream_sharding(self.mesh))
-        self._state = self._reset_fn(self._state, mask_dev, thr_dev)
-        self._pending[mask] = 0.0
+        return mask, mask_dev, thr_dev
 
     def set_thresholds(self, indices, thresholds) -> None:
         """Change the given lanes' confidence thresholds MID-STREAM —
@@ -224,19 +238,9 @@ class StreamingDetector:
         configured default. Same fixed-shape one-program rule as
         reset_streams; same serialization requirement vs a concurrent
         tick dispatch."""
-        idx = np.asarray(list(indices), np.int64)
-        mask = np.zeros((self.num_streams,), bool)
-        mask[idx] = True
-        default = self.stream_config.confidence_threshold
-        thr = np.full((self.num_streams,), default, np.float32)
-        thr[idx] = np.asarray(
-            [default if t is None else float(t) for t in thresholds],
-            np.float32,
+        _, mask_dev, thr_dev = self._lane_mask_and_thresholds(
+            indices, thresholds
         )
-        mask_dev, thr_dev = jnp.asarray(mask), jnp.asarray(thr)
-        if self.mesh is not None:
-            mask_dev = jax.device_put(mask_dev, stream_sharding(self.mesh))
-            thr_dev = jax.device_put(thr_dev, stream_sharding(self.mesh))
         self._state = self._set_thr_fn(self._state, mask_dev, thr_dev)
 
     def current_thresholds(self) -> np.ndarray:
@@ -313,8 +317,10 @@ class StreamingDetector:
 
     def scores_for(self, chunk: np.ndarray) -> np.ndarray:
         """Raw per-window cough probabilities for a full window batch —
-        the `predict` primitive (reference: src/inference.py:165-189)."""
-        return np.asarray(self._score_fn(jnp.asarray(chunk)))
+        the `predict` primitive (reference: src/inference.py:165-189).
+        One fused jitted program per batch shape (bulk callers — audit,
+        calibrate — would otherwise pay per-op tunnel round trips)."""
+        return np.asarray(self._score_jit(jnp.asarray(chunk)))
 
 
 class CoughDetectorInference:

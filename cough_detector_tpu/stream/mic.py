@@ -254,6 +254,9 @@ class RealtimeMicrophoneDetector:
                 block = self._queue.get(timeout=self.QUEUE_POLL_S)
             except queue.Empty:
                 continue
+            # task_done accounting (see drain_until_idle): an empty queue
+            # alone does not mean idle — this thread may still be scoring
+            # the block it already popped.
             try:
                 hit = self.inference.process_audio_chunk(
                     np.ravel(block)
@@ -262,6 +265,8 @@ class RealtimeMicrophoneDetector:
                 self.errors.append(f"scoring failed: {e}")
                 print(f"[capture] scoring failed, block skipped: {e}")
                 continue
+            finally:
+                self._queue.task_done()
             if hit is not None:
                 when, conf = hit
                 self._sink(when, conf)
@@ -303,12 +308,18 @@ class RealtimeMicrophoneDetector:
             self.stop()
 
     def drain_until_idle(self, timeout: float = 10.0) -> None:
-        """Block until the queue is empty (ArrayCapture feeds have a finite
-        end; hardware captures never idle). Test/offline helper."""
+        """Block until every queued block has been fully SCORED
+        (ArrayCapture feeds have a finite end; hardware captures never
+        idle). Test/offline helper. Uses the queue's unfinished-task
+        count, not emptiness: the worker may still be scoring the block
+        it already popped, and returning then would intermittently miss
+        the final chunk's detection."""
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
             src_done = getattr(self.capture, "drained", lambda: False)()
-            if src_done and self._queue.empty():
+            with self._queue.all_tasks_done:
+                idle = self._queue.unfinished_tasks == 0
+            if src_done and idle:
                 return
             time.sleep(0.02)
         raise TimeoutError("capture queue did not drain in time")

@@ -31,14 +31,19 @@ class OfflineDetection(NamedTuple):
 def frame_windows(
     wave: jnp.ndarray, window_samples: int, hop_samples: int
 ) -> jnp.ndarray:
-    """(S,) → (n_windows, window_samples) sliding-window batch."""
+    """(S,) → (n_windows, window_samples) sliding-window batch.
+
+    Batched contiguous dynamic_slice, NOT an element-index gather: the
+    (n, window) fancy-index form hits the TPU's slow gather path (70-85 ms
+    at (512, 16000)-scale vs ~0.6 ms for slices — CLAUDE.md invariant),
+    and an hour-long recording frames ~14k windows here."""
     n = (wave.shape[-1] - window_samples) // hop_samples + 1
     if n <= 0:
         return jnp.zeros((0, window_samples), wave.dtype)
-    idx = (
-        np.arange(n)[:, None] * hop_samples + np.arange(window_samples)[None, :]
-    )
-    return wave[idx]
+    starts = jnp.arange(n, dtype=jnp.int32) * hop_samples
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(wave, (s,), (window_samples,))
+    )(starts)
 
 
 def smooth_and_debounce(

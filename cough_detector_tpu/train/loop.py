@@ -242,6 +242,7 @@ def train(
             # Crop-time shift needs the full clip; shards store only the
             # cropped window, so they use the device-side roll variant.
             use_time_shift=shards_dir is not None,
+            sample_rate=fcfg.sample_rate,
         )
         waves = frontend.peak_normalize(waves)
         # Fused Pallas kernel on TPU; features carry no trainable params so

@@ -95,6 +95,34 @@ class TestTrainDetect:
         out = capsys.readouterr().out
         assert "t=1.00s" in out
 
+    def test_detect_multi_wav_streams_mode(self, ckpt_dir, tmp_path, capsys):
+        """Several --wav files score concurrently as lanes of one
+        batched StreamingDetector tick; events attribute to the right
+        file and a shorter file's zero-padding tail stays silent."""
+        from cough_detector_tpu.cli import detect
+
+        long_wav = tmp_path / "long.wav"
+        audio_io.write_wav(long_wav, synth.synthetic_cough(5, 2.0), 16000)
+        short_wav = tmp_path / "short.wav"
+        # 1.0 s: exactly one window, then padding-only windows.
+        audio_io.write_wav(short_wav, synth.synthetic_cough(6, 1.0), 16000)
+        detect.main([
+            "--model", str(ckpt_dir / "latest_model"),
+            "--wav", str(long_wav), str(short_wav),
+            "--streams", "2",
+            "--threshold", "0.0", "--smoothing", "1", "--debounce", "0.0",
+        ])
+        out = capsys.readouterr().out
+        lines = [l for l in out.splitlines() if "cough at" in l]
+        by_file = {}
+        for l in lines:
+            by_file.setdefault(l.split(":")[0], []).append(l)
+        assert str(long_wav) in by_file and str(short_wav) in by_file
+        # The short file is padded to the long one's span; windows
+        # starting past its end score only zeros and must be suppressed
+        # (threshold 0 means they WOULD fire if not filtered).
+        assert len(by_file[str(short_wav)]) < len(by_file[str(long_wav)])
+
     def test_detect_requires_model(self):
         from cough_detector_tpu.cli import detect
 
