@@ -107,6 +107,7 @@ def serving_bench(num_streams: int = 256, n_ticks: int = None,
             {
                 "metric": "multi_stream_serving",
                 "num_streams": num_streams,
+                "precision": precision_mode,
                 "n_ticks_timed": n_ticks - 1,
                 "sustained_tick_ms": round(sustained_tick * 1e3, 3),
                 "sync_tick_p50_ms": round(sync_p50 * 1e3, 3),
@@ -195,18 +196,14 @@ def _ensure_loadgen():
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "native", "cdt_loadgen.cpp")
     out = os.path.join(here, "native", "cdt_loadgen")
-    # STRICTLY newer: equal mtimes (fresh checkout, copied tree) rebuild —
-    # a stale or foreign-platform binary must never be trusted.
-    if (os.path.exists(out)
-            and os.path.getmtime(out) > os.path.getmtime(src)):
-        return out
     if shutil.which("g++") is None:
         return None
-    subprocess.run(
-        ["g++", "-O2", "-pthread", "-std=c++17", "-o", out, src],
-        check=True,
-    )
-    return out
+    # Staleness policy (strictly-newer mtime) and compiler invocation
+    # live in utils/native_build.py, shared with both .so planes.
+    from cough_detector_tpu.utils.native_build import build_native
+
+    built = build_native(src, out, shared=False)
+    return str(built) if built is not None else None
 
 
 def _rss_kb() -> int:
@@ -488,40 +485,41 @@ def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
     print(json.dumps(record))
 
 
+def _flag(name, default, allowed=None, cast=str):
+    """Parse one --name value; UNKNOWN values are a hard error — a typo'd
+    tier must never silently run the default path under a mislabeled
+    benchmark row (same rule the --loadgen parser pinned first)."""
+    if name not in sys.argv:
+        return default
+    value = cast(sys.argv[sys.argv.index(name) + 1])
+    if allowed is not None and value not in allowed:
+        raise SystemExit(f"{name} must be one of {sorted(allowed)}, "
+                         f"got {value!r}")
+    return value
+
+
 if __name__ == "__main__":
-    backend = "python"
-    if "--backend" in sys.argv:
-        backend = sys.argv[sys.argv.index("--backend") + 1]
-    loadgen = "python"
-    if "--loadgen" in sys.argv:
-        loadgen = sys.argv[sys.argv.index("--loadgen") + 1]
-    h2d = "float32"
-    if "--h2d" in sys.argv:
-        h2d = sys.argv[sys.argv.index("--h2d") + 1]
-    uplink = None
-    if "--uplink" in sys.argv:
-        uplink = float(sys.argv[sys.argv.index("--uplink") + 1])
+    backend = _flag("--backend", "python", {"python", "native", "auto"})
+    loadgen = _flag("--loadgen", "python", {"python", "native"})
+    h2d = _flag("--h2d", "float32", {"float32", "int16", "mulaw"})
+    uplink = _flag("--uplink", None, cast=float)
     if "--daemon-ramp" in sys.argv:
         # Host-side ceiling of the socket tier: ramp stream counts until
         # the timer loop misses cadence or slots overflow. Every row is a
         # real multi-client run at that count.
+        ramp_secs = _flag("--seconds", 20.0, cast=float)
+        ramp_clients = _flag("--clients", 8, cast=int)
         for s in (512, 1024, 2048, 4096, 8192):
-            rec = daemon_bench(num_streams=s, seconds=20.0,
+            rec = daemon_bench(num_streams=s, seconds=ramp_secs,
+                               n_clients=ramp_clients,
                                backend=backend, loadgen=loadgen,
                                h2d_dtype=h2d, uplink_s=uplink)
             if not rec["realtime_at_this_count"]:
                 break
     elif "--daemon" in sys.argv:
-        n = 256
-        if "--streams" in sys.argv:
-            n = int(sys.argv[sys.argv.index("--streams") + 1])
-        m = 8
-        if "--clients" in sys.argv:
-            m = int(sys.argv[sys.argv.index("--clients") + 1])
-        secs = 30.0
-        if "--seconds" in sys.argv:
-            secs = float(sys.argv[sys.argv.index("--seconds") + 1])
-        daemon_bench(num_streams=n, n_clients=m, seconds=secs,
+        daemon_bench(num_streams=_flag("--streams", 256, cast=int),
+                     n_clients=_flag("--clients", 8, cast=int),
+                     seconds=_flag("--seconds", 30.0, cast=float),
                      backend=backend, loadgen=loadgen, h2d_dtype=h2d,
                      uplink_s=uplink)
     elif "--serving-sweep" in sys.argv:
@@ -529,21 +527,15 @@ if __name__ == "__main__":
         # real run at that stream count, not arithmetic from a smaller one.
         # 20,480 is the measured real-time edge (96.9 ms tick); 24,576
         # exceeds the 100 ms budget (BASELINE.md).
+        sweep_prec = _flag("--precision", "high", {"high", "serve"})
         for s in (256, 1024, 4096, 8192, 16384, 18432, 20480):
-            serving_bench(num_streams=s)
+            serving_bench(num_streams=s, precision_mode=sweep_prec)
     elif "--serving" in sys.argv:
-        n = 256
-        if "--streams" in sys.argv:
-            n = int(sys.argv[sys.argv.index("--streams") + 1])
-        prec = "high"
-        if "--precision" in sys.argv:
-            prec = sys.argv[sys.argv.index("--precision") + 1]
-        serving_bench(num_streams=n, precision_mode=prec)
+        serving_bench(
+            num_streams=_flag("--streams", 256, cast=int),
+            precision_mode=_flag("--precision", "high",
+                                 {"high", "serve"}),
+        )
     else:
-        batch = None
-        if "--batch" in sys.argv:
-            batch = int(sys.argv[sys.argv.index("--batch") + 1])
-        mode = "high"
-        if "--mode" in sys.argv:
-            mode = sys.argv[sys.argv.index("--mode") + 1]
-        main(batch=batch, mode=mode)
+        main(batch=_flag("--batch", None, cast=int),
+             mode=_flag("--mode", "high", {"high", "serve", "bf16"}))

@@ -98,8 +98,6 @@ def main(argv=None) -> None:
         backend=args.backend,
         h2d_dtype=args.h2d_dtype,
     )
-    host, port = server.address[0], server.address[1]
-
     # Observability sidecar: starts (and binds) BEFORE the tick compile
     # so orchestrators can poll /healthz through the cold start; flips
     # ready only when the daemon is actually accepting clients.
@@ -147,6 +145,9 @@ def main(argv=None) -> None:
             # streams.
             if stats_http is not None:
                 stats_http.set_ready(True)
+            # server.address binds at start() (the native plane is
+            # deliberately created only after the tick compile).
+            host, port = server.address[0], server.address[1]
             print(json.dumps({
                 "serving": True, "host": host, "port": port,
                 "streams": args.streams, "chunk_ms": args.chunk_ms,

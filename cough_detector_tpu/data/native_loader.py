@@ -27,20 +27,12 @@ _build_failed = False
 
 
 def _build() -> Optional[Path]:
-    # Strict `>`: an equal-mtime .so (copied tree, archive extraction,
-    # mtime-preserving sync) may be stale or foreign-platform — rebuild,
-    # matching serve/native_ingest.py and bench._ensure_loadgen.
-    if _LIB.exists() and _LIB.stat().st_mtime > _SRC.stat().st_mtime:
-        return _LIB
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",
-        "-o", str(_LIB), str(_SRC),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except Exception:
-        return None
+    # Staleness policy and compiler invocation live in ONE place
+    # (utils/native_build.py), shared with the serving plane and the
+    # bench load generator.
+    from ..utils.native_build import build_native
+
+    return build_native(_SRC, _LIB)
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -124,9 +124,21 @@ class DetectionClient:
                         # >0 guard: a reply landing after its open_stream()
                         # timed out (which already retired the claim) must
                         # not drive the counter negative.
-                        if self._pending_opens > 0:
+                        claimed = self._pending_opens > 0
+                        if claimed:
                             self._pending_opens -= 1
-                    self._opened.put(("ok", frame.stream))
+                    if claimed:
+                        self._opened.put(("ok", frame.stream))
+                    else:
+                        # A STALE grant (its open_stream already timed
+                        # out): queuing it would mis-bind every later
+                        # open_stream by one — slot ids and per-stream
+                        # thresholds silently swapped across tenants.
+                        # Release the orphan server-side instead.
+                        try:
+                            self.close_stream(frame.stream)
+                        except OSError:
+                            pass
                 elif frame.type == protocol.ERROR:
                     # Only a pending open_stream() may consume an ERROR as
                     # its refusal; out-of-band errors (protocol verdicts)

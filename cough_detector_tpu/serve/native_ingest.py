@@ -31,20 +31,12 @@ _build_failed = False
 
 
 def _build() -> Optional[Path]:
-    # Strict `>`: an equal-mtime .so (copied tree, archive extraction,
-    # mtime-preserving sync) may be stale or foreign-platform — rebuild,
-    # matching bench._ensure_loadgen's policy.
-    if _LIB.exists() and _LIB.stat().st_mtime > _SRC.stat().st_mtime:
-        return _LIB
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",
-        "-o", str(_LIB), str(_SRC),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return _LIB
-    except Exception:
-        return None
+    # Staleness policy and compiler invocation live in ONE place
+    # (utils/native_build.py), shared with the data loader and the
+    # bench load generator.
+    from ..utils.native_build import build_native
+
+    return build_native(_SRC, _LIB)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -151,6 +143,13 @@ class NativeIngest:
         self._granted_gens = np.empty(num_streams, np.uint32)
         self._granted_thrs = np.empty(num_streams, np.float32)
         self._final_stats: Optional[dict] = None
+        # Serializes every ctypes call against stop(): the `_h is None`
+        # guards alone are TOCTOU — a concurrent stop() (e.g. a /stats
+        # scrape racing daemon shutdown) could free the C++ Server
+        # between the check and the call, handing the C ABI a NULL or
+        # dangling pointer (segfault). assemble() is on the tick hot
+        # path; an uncontended mutex acquire is ~100 ns.
+        self._call_lock = threading.RLock()
 
     def granted(self) -> List[Tuple[int, int, Optional[float]]]:
         """(slot, generation, threshold) triples granted since the last
@@ -158,6 +157,10 @@ class NativeIngest:
         its OPEN frame, or None for the server default. Calling this
         ACTIVATES the slots for assembly — scrub the device lanes before
         the tick that follows."""
+        with self._call_lock:
+            return self._granted_locked()
+
+    def _granted_locked(self) -> List[Tuple[int, int, Optional[float]]]:
         if self._h is None:
             return []
         n = self._lib.cdt_ingest_granted(
@@ -195,6 +198,10 @@ class NativeIngest:
         assert dst.shape == (self.num_streams, self.chunk)
         assert dst.dtype in (np.float32, np.int16, np.uint8)
         assert dst.flags.c_contiguous
+        with self._call_lock:
+            return self._assemble_locked(dst)
+
+    def _assemble_locked(self, dst: np.ndarray) -> int:
         if self._h is None:
             dst[:] = 128 if dst.dtype == np.uint8 else 0
             return 0
@@ -218,9 +225,10 @@ class NativeIngest:
         full chunk buffered (pending slots included — the next tick
         activates them before assembling). Twin of the python tier's
         _ready()."""
-        if self._h is None:
-            return False
-        return bool(self._lib.cdt_ingest_ready(self._h))
+        with self._call_lock:
+            if self._h is None:
+                return False
+            return bool(self._lib.cdt_ingest_ready(self._h))
 
     def send_events(
         self,
@@ -230,8 +238,14 @@ class NativeIngest:
         confs: np.ndarray,
     ) -> None:
         n = len(slots)
-        if n == 0 or self._h is None:
+        if n == 0:
             return
+        with self._call_lock:
+            if self._h is None:
+                return
+            self._send_events_locked(slots, gens, times, confs, n)
+
+    def _send_events_locked(self, slots, gens, times, confs, n) -> None:
         slots = np.ascontiguousarray(slots, np.int32)
         gens = np.ascontiguousarray(gens, np.uint32)
         times = np.ascontiguousarray(times, np.float64)
@@ -245,6 +259,10 @@ class NativeIngest:
         )
 
     def stats(self) -> dict:
+        with self._call_lock:
+            return self._stats_locked()
+
+    def _stats_locked(self) -> dict:
         if self._h is None:
             # Post-stop callers (final CLI stats line) get the snapshot
             # taken at stop — never a NULL handle into the C ABI.
@@ -264,7 +282,8 @@ class NativeIngest:
         }
 
     def stop(self) -> None:
-        if self._h:
-            self._final_stats = self.stats()
-            self._lib.cdt_ingest_stop(self._h)
-            self._h = None
+        with self._call_lock:  # RLock: _stats_locked reenters fine
+            if self._h:
+                self._final_stats = self._stats_locked()
+                self._lib.cdt_ingest_stop(self._h)
+                self._h = None

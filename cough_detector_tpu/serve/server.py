@@ -149,7 +149,12 @@ class _Slot:
         self.open_sample = open_sample        # server stream-sample at OPEN
 
     def push(self, samples: np.ndarray, cap: int) -> int:
-        """Queue samples; returns how many OLD samples were dropped."""
+        """Queue samples; returns how many OLD samples were dropped.
+        The cap binds even for a SINGLE over-cap frame (a 16 MiB AUDIO
+        frame is 262 s of audio): keep the newest `cap` samples and
+        count the rest dropped — the same newest-wins rule as the C++
+        plane's ring (cdt_ingest.cpp), so both backends give identical
+        detections and stats for identical wire bytes."""
         dropped = 0
         with self.lock:
             self.buffer.append(samples)
@@ -158,6 +163,12 @@ class _Slot:
                 old = self.buffer.popleft()
                 self.buffered -= old.size
                 dropped += old.size
+            if self.buffered > cap:  # one frame alone exceeds the cap
+                head = self.buffer[0]
+                trim = self.buffered - cap
+                self.buffer[0] = head[trim:]
+                self.buffered -= trim
+                dropped += trim
         return dropped
 
     def pull(self, n: int) -> np.ndarray:
@@ -305,6 +316,7 @@ class DetectionServer:
         )
         self.num_streams = num_streams
         self.chunk_size = chunk_size
+        self._host, self._port = host, port
         self._sample_rate = self._detector.config.features.sample_rate
         self._tick_seconds = chunk_size / self._sample_rate
         self._buffer_cap = max(chunk_size, int(buffer_seconds * self._sample_rate))
@@ -313,6 +325,9 @@ class DetectionServer:
         self._slots: Dict[int, _Slot] = {}
         self._free = list(range(num_streams - 1, -1, -1))
         self._reg_lock = threading.Lock()
+        # Every accepted connection, so stop() can close them (else each
+        # _client_loop stays blocked in recv and remote clients hang).
+        self._live_clients: set = set()
         # Slots granted but not yet state-scrubbed, as (slot_id,
         # threshold-or-None) pairs; the tick thread zeroes their device
         # rows (and installs the tenant's per-stream threshold) before
@@ -361,12 +376,17 @@ class DetectionServer:
         self._threads: List[threading.Thread] = []
 
         if backend == "native":
-            from .native_ingest import NativeIngest
-
-            self._ingest = NativeIngest(
-                host, port, num_streams, chunk_size, self._buffer_cap
-            )
-            self.address = self._ingest.address
+            # The C++ plane is created in start(), AFTER the tick compile:
+            # cdt_ingest_start accepts and replies OPENED immediately, so
+            # binding here would let a client open a slot and stream audio
+            # for the whole minutes-long cold compile — the 30 s buffer
+            # cap silently dropping most of it with no error anywhere.
+            # (The python tier's accept LOOP likewise only runs post-
+            # compile; its pre-bound listener just queues connects in the
+            # OS backlog, which open_stream surfaces as a loud timeout.)
+            self._ingest = None
+            self._native_pending = True
+            self.address = None  # bound at start()
             self._listener = None
             # slot id → (generation, open_sample): the control-plane view
             # the router needs for retiming + reuse-safe event delivery.
@@ -384,6 +404,7 @@ class DetectionServer:
             ]
         else:
             self._ingest = None
+            self._native_pending = False
             self._listener = socket.create_server((host, port))
             self.address = self._listener.getsockname()
 
@@ -403,6 +424,14 @@ class DetectionServer:
         # real OPEN can never stall the timer loop on a cold-TPU compile.
         self._detector.reset_streams([])
         self._detector.reset()
+        if self._native_pending:
+            from .native_ingest import NativeIngest
+
+            self._ingest = NativeIngest(
+                self._host, self._port, self.num_streams, self.chunk_size,
+                self._buffer_cap,
+            )
+            self.address = self._ingest.address
         self._threads = ([
             threading.Thread(target=self._accept_loop, daemon=True),
         ] if self._ingest is None else []) + [
@@ -422,6 +451,16 @@ class DetectionServer:
                 self._listener.close()
             except OSError:
                 pass
+        # Close every live connection: a bare listener close leaves each
+        # _client_loop blocked in recv and every remote client hung with
+        # no FIN — one leaked fd + two threads per connection per
+        # stop/start cycle. (The native plane's stop already closes its
+        # conn fds; this is the python twin of that.)
+        with self._reg_lock:
+            live = list(self._live_clients)
+            self._live_clients.clear()
+        for c in live:
+            c.close()
         for t in self._threads:
             t.join(timeout=5.0)
         if self._ingest is not None:
@@ -510,6 +549,8 @@ class DetectionServer:
                 return  # listener closed
             self._bump("connections")
             client = _Client(sock, addr)
+            with self._reg_lock:
+                self._live_clients.add(client)
             t = threading.Thread(
                 target=self._client_loop, args=(client,), daemon=True
             )
@@ -556,8 +597,13 @@ class DetectionServer:
                 client.send(
                     protocol.encode(protocol.ERROR, 0, b"no free stream slots")
                 )
-            else:
-                client.send(protocol.encode(protocol.OPENED, slot_id))
+            elif not client.send(protocol.encode(protocol.OPENED, slot_id)):
+                # The grant reply could not even be QUEUED (outbox
+                # saturated): the client will never learn the slot id, so
+                # it can never CLOSE it — release immediately or capacity
+                # leaks one slot per swallowed reply.
+                self._release_slot(client, slot_id)
+                self._bump("refused")
         elif frame.type == protocol.AUDIO:
             slot = self._slots.get(frame.stream)
             if slot is None or slot.owner is not client:
@@ -590,6 +636,8 @@ class DetectionServer:
     def _release_client(self, client: _Client) -> None:
         for slot_id in list(client.slots):
             self._release_slot(client, slot_id)
+        with self._reg_lock:
+            self._live_clients.discard(client)
         client.close()
 
     # -- device side -----------------------------------------------------

@@ -281,6 +281,27 @@ void handle_frame(Server* s, Conn* c, const Header& h,
                    (uint32_t)strlen(msg), &dropped);
       } else {
         send_frame(s, c, OPENED, (uint32_t)sid, nullptr, 0, &dropped);
+        if (dropped) {
+          // The grant reply could not be queued (outbox saturated): the
+          // client will never learn the slot id and can never CLOSE it.
+          // Undo the grant — otherwise capacity silently shrinks by one
+          // slot per swallowed reply until disconnect.
+          std::lock_guard<std::mutex> lk(s->reg_m);
+          release_slot_locked(s, sid, c);
+          for (auto it = s->granted.begin(); it != s->granted.end(); ++it) {
+            if (it->sid == sid && it->gen == gen) {
+              s->granted.erase(it);
+              break;
+            }
+          }
+          for (auto it = c->slots.begin(); it != c->slots.end(); ++it) {
+            if (*it == sid) {
+              c->slots.erase(it);
+              break;
+            }
+          }
+          s->st_refused += 1;
+        }
       }
       break;
     }
@@ -408,7 +429,19 @@ void io_loop(Server* s) {
       if (ptr == (void*)&s->listen_fd) {
         for (;;) {
           int fd = accept4(s->listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
-          if (fd < 0) break;
+          if (fd < 0) {
+            // EAGAIN: backlog drained. Anything else (EMFILE/ENFILE,
+            // ECONNABORTED): the listen fd stays readable under
+            // level-triggered epoll, so a bare break would busy-spin
+            // the io thread at 100% CPU on this one-core host. A short
+            // sleep bounds the retry rate; already-connected streams
+            // keep their cadence.
+            if (errno != EAGAIN && errno != EWOULDBLOCK) {
+              struct timespec ts = {0, 50 * 1000 * 1000};  // 50 ms
+              nanosleep(&ts, nullptr);
+            }
+            break;
+          }
           int one = 1;
           setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
           Conn* c = new Conn();

@@ -744,6 +744,55 @@ class TestMulawQuarterBandwidthIngest:
             )
 
 
+class TestServeHardening:
+    def test_single_overcap_frame_is_trimmed_and_counted(self):
+        """The per-slot buffer cap must bind even when ONE frame exceeds
+        it (a 16 MiB AUDIO frame is 262 s of audio): keep the newest cap
+        samples, count the rest dropped — same newest-wins rule as the
+        C++ ring."""
+        from cough_detector_tpu.serve.server import _Slot
+
+        slot = _Slot(owner=None, open_sample=0)
+        big = np.arange(10_000, dtype=np.float32)
+        dropped = slot.push(big, cap=4_000)
+        assert dropped == 6_000
+        assert slot.buffered == 4_000
+        np.testing.assert_array_equal(slot.pull(4_000), big[6_000:])
+
+    def test_stop_closes_live_connections(self, model_and_config):
+        """server.stop() must FIN every connected client — a bare
+        listener close leaves remote readers hung and leaks one fd plus
+        two threads per connection per stop/start cycle."""
+        import socket as socketlib
+
+        srv = _make_server(model_and_config, num_streams=2)
+        srv.start()
+        host, port = srv.address
+        raw = socketlib.create_connection((host, port))
+        raw.settimeout(5.0)
+        srv.stop()
+        # EOF (b"") within the timeout proves the server closed us.
+        assert raw.recv(1) == b""
+        raw.close()
+
+    def test_native_backend_binds_only_after_start(self, model_and_config):
+        """The C++ plane accepts and grants slots the moment it binds, so
+        it must not exist until start() has compiled the tick program —
+        otherwise a client's audio silently ages out of the bounded
+        buffer during the minutes-long cold compile."""
+        from cough_detector_tpu.serve import native_ingest
+
+        if not native_ingest.available():
+            pytest.skip("no native toolchain")
+        srv = _make_server(model_and_config, backend="native")
+        assert srv.address is None and srv._ingest is None
+        with srv:
+            assert srv.address is not None
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                assert isinstance(c.open_stream(), int)
+
+
 class TestPerStreamThresholds:
     """Multi-tenant sensitivity: each OPEN may carry its own confidence
     threshold (serve/protocol.py, 4-byte f32le payload), installed on the
