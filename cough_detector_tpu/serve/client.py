@@ -93,6 +93,12 @@ class DetectionClient:
     def close_stream(self, stream: int) -> None:
         self._sock.sendall(protocol.encode(protocol.CLOSE, stream))
 
+    def set_threshold(self, stream: int, threshold: float) -> None:
+        """Retune this stream's confidence threshold MID-STREAM (takes
+        effect on the next server tick; audio, smoothing history and the
+        debounce clock are untouched — unlike closing and reopening)."""
+        self._sock.sendall(protocol.encode_thresh(stream, threshold))
+
     def send_audio(self, stream: int, samples: np.ndarray) -> None:
         self._sock.sendall(protocol.encode_audio(stream, samples))
 

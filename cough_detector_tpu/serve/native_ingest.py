@@ -64,6 +64,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint),
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        lib.cdt_ingest_thresh_updates.restype = ctypes.c_int
+        lib.cdt_ingest_thresh_updates.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ]
         lib.cdt_ingest_assemble.restype = ctypes.c_int
         lib.cdt_ingest_assemble.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
@@ -186,6 +191,28 @@ class NativeIngest:
             )
             for i in range(n)
         ]
+
+    def thresh_updates(self) -> List[Tuple[int, float]]:
+        """(slot, threshold) mid-stream THRESH retunes since the last
+        call — apply AFTER this tick's grants (a grant and a retune in
+        the same tick resolve to the retune), scrub-free."""
+        with self._call_lock:
+            if self._h is None:
+                return []
+            n = self._lib.cdt_ingest_thresh_updates(
+                self._h,
+                self._granted_ids.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int)
+                ),
+                self._granted_thrs.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)
+                ),
+                self.num_streams,
+            )
+            return [
+                (int(self._granted_ids[i]), float(self._granted_thrs[i]))
+                for i in range(n)
+            ]
 
     def assemble(self, dst: np.ndarray) -> int:
         """Fill dst (num_streams, chunk) with one tick of audio

@@ -42,6 +42,10 @@ AUDIO = 3     # client -> server: f32le PCM for the slot
 EVENT = 4     # server -> client: a detection on the slot
 CLOSE = 5     # client -> server: release the slot
 ERROR = 6     # server -> client: refusal / protocol error (then close)
+THRESH = 7    # client -> server: set the slot's confidence threshold
+#               MID-STREAM (4-byte f32le payload; effective next tick;
+#               scrubs nothing — ring audio, smoothing history and the
+#               debounce clock survive, unlike a CLOSE+OPEN cycle)
 
 # Bound a single frame to 16 MiB: a malformed length can't balloon memory.
 MAX_PAYLOAD = 16 << 20
@@ -84,6 +88,24 @@ def decode_open_threshold(frame: Frame) -> Optional[float]:
     (thr,) = struct.unpack("<f", frame.payload)
     if not np.isfinite(thr):
         raise ValueError("OPEN threshold must be finite")
+    return float(thr)
+
+
+def encode_thresh(stream: int, threshold: float) -> bytes:
+    """THRESH frame: retune `stream`'s confidence threshold mid-stream."""
+    return encode(THRESH, stream, struct.pack("<f", float(threshold)))
+
+
+def decode_thresh(frame: Frame) -> float:
+    """The threshold carried by a THRESH frame; ValueError on a malformed
+    payload (callers turn that into a protocol error)."""
+    if len(frame.payload) != 4:
+        raise ValueError(
+            f"THRESH payload must be 4 bytes, got {len(frame.payload)}"
+        )
+    (thr,) = struct.unpack("<f", frame.payload)
+    if not np.isfinite(thr):
+        raise ValueError("THRESH threshold must be finite")
     return float(thr)
 
 

@@ -333,6 +333,10 @@ class DetectionServer:
         # rows (and installs the tenant's per-stream threshold) before
         # pulling any of their audio.
         self._pending_resets: List[tuple] = []
+        # Mid-stream THRESH retunes, (slot_id, threshold) — applied by
+        # the tick thread AFTER any resets (a grant and a retune in the
+        # same tick resolve to the retune), scrubbing nothing.
+        self._pending_thresholds: List[tuple] = []
         self._stats = {
             "ticks": 0, "events": 0, "events_dropped": 0,
             "dropped_samples": 0, "connections": 0, "refused": 0,
@@ -423,6 +427,8 @@ class DetectionServer:
         # means this is the ONLY compile it will ever need, so the first
         # real OPEN can never stall the timer loop on a cold-TPU compile.
         self._detector.reset_streams([])
+        # Same for the scrub-free threshold retune (THRESH frames).
+        self._detector.set_thresholds([], [])
         self._detector.reset()
         if self._native_pending:
             from .native_ingest import NativeIngest
@@ -619,6 +625,18 @@ class DetectionServer:
             dropped = slot.push(samples.copy(), self._buffer_cap)
             if dropped:
                 self._bump("dropped_samples", dropped)
+        elif frame.type == protocol.THRESH:
+            slot = self._slots.get(frame.stream)
+            if slot is None or slot.owner is not client:
+                raise _ProtocolViolation(
+                    f"THRESH for unowned slot {frame.stream}"
+                )
+            try:
+                thr = protocol.decode_thresh(frame)
+            except ValueError as err:
+                raise _ProtocolViolation(str(err))
+            with self._reg_lock:
+                self._pending_thresholds.append((frame.stream, thr))
         elif frame.type == protocol.CLOSE:
             self._release_slot(client, frame.stream)
         else:
@@ -694,6 +712,14 @@ class DetectionServer:
             start_sample = self._dispatched * self.chunk_size
             for sid, gen, _ in granted:
                 self._slot_meta[sid] = (gen, start_sample)
+        retunes = self._ingest.thresh_updates()
+        if retunes:
+            # After grants: same-tick grant + retune resolve to the
+            # retune. Scrub-free (detector.set_thresholds).
+            self._detector.set_thresholds(
+                [sid for sid, _ in retunes],
+                [thr for _, thr in retunes],
+            )
         buf = self._assemble_bufs[self._dispatched % len(self._assemble_bufs)]
         self._ingest.assemble(buf)
         t0 = time.perf_counter()
@@ -739,6 +765,8 @@ class DetectionServer:
             live = dict(self._slots)
             resets = self._pending_resets
             self._pending_resets = []
+            retunes = self._pending_thresholds
+            self._pending_thresholds = []
         # Scrub reused slots BEFORE pulling their audio: their rows still
         # hold the previous tenant's ring/history/debounce state, and this
         # thread is the only one dispatching device work (reset_streams is
@@ -754,6 +782,13 @@ class DetectionServer:
                 slot = live.get(sid)
                 if slot is not None:
                     slot.open_sample = start_sample
+        if retunes:
+            # After resets: a grant and a THRESH in the same tick resolve
+            # to the retune. Scrub-free (detector.set_thresholds).
+            self._detector.set_thresholds(
+                [sid for sid, _ in retunes],
+                [thr for _, thr in retunes],
+            )
         for slot_id, slot in live.items():
             chunk[slot_id] = slot.pull(self.chunk_size)
         if self._h2d is np.int16:

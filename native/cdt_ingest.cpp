@@ -63,6 +63,7 @@ constexpr size_t kOutboxCap = 4u << 20;  // bytes per connection
 
 enum FrameType : uint8_t {
   OPEN = 1, OPENED = 2, AUDIO = 3, EVENT = 4, CLOSE = 5, ERR = 6,
+  THRESH = 7,  // set the slot's confidence threshold mid-stream
 };
 
 struct Conn;
@@ -116,6 +117,9 @@ struct Server {
   std::vector<std::unique_ptr<Slot>> slots;
   std::vector<int> free_slots;
   std::vector<Grant> granted;  // since last fetch
+  // Mid-stream THRESH retunes since the last drain (reg_m): the control
+  // plane applies them scrub-free after any grants the same tick.
+  std::vector<std::pair<int, float>> thr_updates;
   std::unordered_map<int, Conn*> conns;           // fd -> conn
 
   // stats (reg_m)
@@ -358,6 +362,36 @@ void handle_frame(Server* s, Conn* c, const Header& h,
         protocol_error(s, c, "AUDIO for unowned slot");
       }
       return;
+    }
+    case THRESH: {
+      float thr = 0.0f;
+      if (h.length != 4) {
+        protocol_error(s, c, "THRESH payload must be 4 bytes");
+        return;
+      }
+      std::memcpy(&thr, payload, 4);
+      if (!std::isfinite(thr)) {
+        protocol_error(s, c, "THRESH threshold must be finite");
+        return;
+      }
+      bool owned = false;
+      {
+        std::lock_guard<std::mutex> lk(s->reg_m);
+        if (h.stream < (uint32_t)s->num_streams) {
+          Slot& sl = *s->slots[h.stream];
+          std::lock_guard<std::mutex> slk(sl.m);
+          owned = sl.open && sl.owner == c;
+        }
+        if (owned) s->thr_updates.emplace_back((int)h.stream, thr);
+      }
+      if (!owned) {
+        // matches the python tier: retuning an unowned slot severs
+        // (protocol_error flushes outside reg_m — never hold the
+        // registry across a socket send)
+        protocol_error(s, c, "THRESH for unowned slot");
+        return;
+      }
+      break;
     }
     case CLOSE: {
       std::lock_guard<std::mutex> lk(s->reg_m);
@@ -663,6 +697,24 @@ int cdt_ingest_granted(void* h, int* slots, unsigned* gens,
     ++n;
   }
   s->granted.erase(s->granted.begin(), s->granted.begin() + n);
+  return n;
+}
+
+// Drain mid-stream THRESH retunes queued since the last call; the
+// control plane applies them to the device lanes (scrub-free) after any
+// grants the same tick.
+int cdt_ingest_thresh_updates(void* h, int* slots, float* thresholds,
+                              int cap) {
+  auto* s = (Server*)h;
+  std::lock_guard<std::mutex> lk(s->reg_m);
+  int n = 0;
+  for (auto& [sid, thr] : s->thr_updates) {
+    if (n >= cap) break;
+    slots[n] = sid;
+    thresholds[n] = thr;
+    ++n;
+  }
+  s->thr_updates.erase(s->thr_updates.begin(), s->thr_updates.begin() + n);
   return n;
 }
 

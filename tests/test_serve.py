@@ -850,6 +850,53 @@ class TestPerStreamThresholds:
         assert got_hot, "threshold-0 tenant must receive events"
         assert not got_cold, "threshold-1.1 tenant must receive none"
 
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_thresh_frame_retunes_mid_stream(self, model_and_config, backend):
+        """A THRESH frame retunes a live stream's sensitivity without
+        reconnecting: muted at 1.1 for the first half, the tenant sends
+        THRESH 0.0 and the same stream starts firing — on both socket
+        backends."""
+        if backend == "native":
+            from cough_detector_tpu.serve import native_ingest
+
+            if not native_ingest.available():
+                pytest.skip("no native toolchain")
+        wave = synth.synthetic_cough(5, 4.0).astype(np.float32)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        half = n_chunks // 2
+        srv = _make_server(
+            model_and_config, num_streams=1, backend=backend
+        )
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream(threshold=1.1)
+                for t in range(half):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= half)
+                assert not c.events(timeout=0.3), "muted tenant fired"
+                c.set_threshold(sid, 0.0)
+                for t in range(half, n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: srv.stats()["ticks"] >= n_chunks)
+                assert c.events(timeout=5.0), "retuned tenant must fire"
+
+    def test_thresh_for_unowned_slot_is_protocol_error(
+        self, model_and_config
+    ):
+        import socket as socketlib
+
+        from cough_detector_tpu.serve import protocol
+
+        with _make_server(model_and_config, num_streams=2) as srv:
+            host, port = srv.address
+            bad = socketlib.create_connection((host, port))
+            bad.sendall(protocol.encode_thresh(0, 0.5))  # never opened
+            fr = protocol.read_frame(bad)
+            assert fr is not None and fr.type == protocol.ERROR
+            bad.close()
+
     def test_slot_reuse_restores_default_threshold(self, model_and_config):
         """A tenant's custom threshold must die with its slot: the next
         tenant on the same lane (no threshold in OPEN) gets the server
