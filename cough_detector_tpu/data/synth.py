@@ -16,6 +16,16 @@ import numpy as np
 
 SAMPLE_RATE = 16000
 
+# Negative-sample menu: the union of the reference's setup_data.py
+# silence/white/hum/clicks kinds (setup_data.py:95-164) and
+# prepare_data.py's pink-noise + ambient multi-sine kinds
+# (prepare_data.py:138-162). synthetic_non_cough draws its kind from
+# this tuple with the seed's FIRST rng call — tests replay that draw
+# to know which kind a given seed produces.
+NON_COUGH_KINDS = (
+    "silence", "white_noise", "hum", "clicks", "pink_noise", "ambient"
+)
+
 
 def synthetic_cough(
     seed: int,
@@ -68,9 +78,7 @@ def synthetic_non_cough(
     n = int(sample_rate * duration_s)
     t = np.linspace(0, duration_s, n)
 
-    kind = rng.choice(
-        ["silence", "white_noise", "hum", "clicks", "pink_noise", "ambient"]
-    )
+    kind = rng.choice(list(NON_COUGH_KINDS))
     if kind == "silence":
         audio = rng.standard_normal(n) * 0.005
     elif kind == "white_noise":

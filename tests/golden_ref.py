@@ -281,12 +281,22 @@ def extract_features(
     (src/preprocessing.py:432-489)."""
     emph = pre_emphasis(wave, pre_emphasis_coef) if use_pre_emphasis else wave
 
-    mel = mel_spectrogram(emph, **kw)
+    # Split kwargs per callee so geometry overrides (n_mfcc vs mel-only
+    # params) can ride one **kw without TypeErrors.
+    mel_kw = {
+        k: v
+        for k, v in kw.items()
+        if k in ("sample_rate", "n_fft", "hop_length", "win_length",
+                 "n_mels", "f_min", "f_max")
+    }
+    mel = mel_spectrogram(emph, **mel_kw)
     mel = pcen_minmax(mel) if use_pcen else log_mel_norm(mel)
     parts = [mel]
 
     if use_mfcc:
-        mf = zscore_global(mfcc(emph, **kw))
+        mf = zscore_global(mfcc(emph, **dict(mel_kw, **(
+            {"n_mfcc": kw["n_mfcc"]} if "n_mfcc" in kw else {}
+        ))))
         d1 = compute_deltas(mf)
         parts += [mf, d1]
         if use_delta_delta:

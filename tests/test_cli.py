@@ -65,18 +65,28 @@ class TestFeaturize:
             ])
 
 
+@pytest.fixture(scope="module")
+def shared_ckpt_dir(data_dir, tmp_path_factory):
+    """ONE 1-epoch 'small' training shared by every CLI test that just
+    needs a trained checkpoint (train/detect/evaluate/extract-segments).
+    Each redundant identical training costs ~a minute on this
+    single-core host; tests that exercise training ITSELF live in
+    test_train.py, not here."""
+    from cough_detector_tpu.cli import train as tcli
+
+    out = tmp_path_factory.mktemp("shared_ckpt")
+    tcli.main([
+        "--data-dir", str(data_dir), "--output-dir", str(out),
+        "--model-type", "small", "--epochs", "1", "--batch-size", "4",
+        "--no-esc50", "--num-workers", "2",
+    ])
+    return out
+
+
 class TestTrainDetect:
     @pytest.fixture(scope="class")
-    def ckpt_dir(self, data_dir, tmp_path_factory):
-        from cough_detector_tpu.cli import train as tcli
-
-        out = tmp_path_factory.mktemp("ckpt")
-        tcli.main([
-            "--data-dir", str(data_dir), "--output-dir", str(out),
-            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
-            "--no-esc50", "--num-workers", "2",
-        ])
-        return out
+    def ckpt_dir(self, shared_ckpt_dir):
+        return shared_ckpt_dir
 
     def test_train_writes_artifacts(self, ckpt_dir):
         assert (ckpt_dir / "config.json").exists()
@@ -137,15 +147,10 @@ class TestTrainDetect:
 
 
 class TestEvaluate:
-    def test_dataset_mode(self, data_dir, tmp_path, capsys):
-        from cough_detector_tpu.cli import evaluate, train as tcli
+    def test_dataset_mode(self, data_dir, shared_ckpt_dir, tmp_path, capsys):
+        from cough_detector_tpu.cli import evaluate
 
-        out = tmp_path / "ck"
-        tcli.main([
-            "--data-dir", str(data_dir), "--output-dir", str(out),
-            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
-            "--no-esc50", "--num-workers", "2",
-        ])
+        out = shared_ckpt_dir
         capsys.readouterr()
         evaluate.main([
             "--model", str(out / "latest_model"),
@@ -215,15 +220,10 @@ class TestEvaluate:
         assert spurious == 1
         assert len(matched) / len(starts) == pytest.approx(2 / 3)
 
-    def test_behavioral_mode(self, data_dir, tmp_path, capsys):
-        from cough_detector_tpu.cli import evaluate, train as tcli
+    def test_behavioral_mode(self, shared_ckpt_dir, capsys):
+        from cough_detector_tpu.cli import evaluate
 
-        out = tmp_path / "ck2"
-        tcli.main([
-            "--data-dir", str(data_dir), "--output-dir", str(out),
-            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
-            "--no-esc50", "--num-workers", "2",
-        ])
+        out = shared_ckpt_dir
         capsys.readouterr()
         evaluate.main([
             "--model", str(out / "latest_model"), "--behavioral",
@@ -232,20 +232,15 @@ class TestEvaluate:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "fp_per_min_silence" in rec and "cough_detection_rate" in rec
 
-    def test_calibrate_mode(self, data_dir, tmp_path, capsys):
+    def test_calibrate_mode(self, shared_ckpt_dir, capsys):
         """--calibrate sweeps thresholds over the behavioral scenarios.
         The in-CLI self-check (replayed threshold+debounce rule must
         reproduce the live engine's event counts at --threshold) runs
         before any sweep number is printed, so a passing run certifies
         replay fidelity too."""
-        from cough_detector_tpu.cli import evaluate, train as tcli
+        from cough_detector_tpu.cli import evaluate
 
-        out = tmp_path / "ck3"
-        tcli.main([
-            "--data-dir", str(data_dir), "--output-dir", str(out),
-            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
-            "--no-esc50", "--num-workers", "2",
-        ])
+        out = shared_ckpt_dir
         capsys.readouterr()
         evaluate.main([
             "--model", str(out / "latest_model"), "--calibrate",
@@ -321,21 +316,12 @@ class TestExtractSegments:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rec["written"] == 8  # 8 s -> 8 one-second tiles
 
-    def test_model_filtered_extraction(self, long_recordings, tmp_path, capsys):
-        from cough_detector_tpu.cli import extract_segments, train as tcli
+    def test_model_filtered_extraction(
+        self, long_recordings, shared_ckpt_dir, tmp_path, capsys
+    ):
+        from cough_detector_tpu.cli import extract_segments
 
-        data = tmp_path / "d"
-        from cough_detector_tpu.cli import prepare_data
-        prepare_data.main([
-            "--output-dir", str(data), "--skip-download",
-            "--synthetic-coughs", "6", "--synthetic-non-coughs", "6",
-        ])
-        ck = tmp_path / "ck"
-        tcli.main([
-            "--data-dir", str(data), "--output-dir", str(ck),
-            "--model-type", "small", "--epochs", "1", "--batch-size", "4",
-            "--no-esc50", "--num-workers", "2",
-        ])
+        ck = shared_ckpt_dir
         capsys.readouterr()
         out = tmp_path / "scored"
         extract_segments.main([

@@ -630,19 +630,36 @@ class TestIngestNegativeSelections:
 
     def test_synthetic_negative_menu_covers_reference_kinds(self):
         """prepare_data's pink-noise and ambient multi-sine negatives
-        (reference: prepare_data.py:138-162) must be reachable kinds."""
-        kinds = set()
-        for seed in range(200):
-            rng = np.random.default_rng(seed)
-            kinds.add(
-                rng.choice(
-                    ["silence", "white_noise", "hum", "clicks",
-                     "pink_noise", "ambient"]
-                )
-            )
-            w = synth.synthetic_non_cough(seed, 0.3)
-            assert np.isfinite(w).all() and w.dtype == np.float32
-            assert np.abs(w).max() <= 0.5 + 1e-6
-        assert kinds == {
+        (reference: prepare_data.py:138-162) must be reachable kinds.
+
+        The menu is single-sourced from synth.NON_COUGH_KINDS (the
+        implementation draws from the same tuple with the seed's first
+        rng call), pinned here against the reference union. Replayed
+        kind labels are anchored to real behavior: for seeds that land
+        on tonal kinds the output's dominant frequency must be one of
+        that kind's menu frequencies — a desynchronized replay (synth
+        drawing before the kind choice) fails this with high
+        probability."""
+        assert set(synth.NON_COUGH_KINDS) == {
             "silence", "white_noise", "hum", "clicks", "pink_noise", "ambient"
         }
+        hum_freqs = (50, 60, 100, 120)
+        ambient_freqs = (60, 120, 240, 500, 1000)
+        kinds = set()
+        dur = 0.3
+        for seed in range(200):
+            kind = str(np.random.default_rng(seed).choice(
+                list(synth.NON_COUGH_KINDS)
+            ))
+            kinds.add(kind)
+            w = synth.synthetic_non_cough(seed, dur)
+            assert np.isfinite(w).all() and w.dtype == np.float32
+            assert np.abs(w).max() <= 0.5 + 1e-6
+            if kind in ("hum", "ambient"):
+                spec = np.abs(np.fft.rfft(w.astype(np.float64)))
+                peak_hz = np.argmax(spec) * synth.SAMPLE_RATE / w.size
+                menu = hum_freqs if kind == "hum" else ambient_freqs
+                assert min(abs(peak_hz - f) for f in menu) < 5.0, (
+                    seed, kind, peak_hz
+                )
+        assert kinds == set(synth.NON_COUGH_KINDS)

@@ -99,6 +99,22 @@ class TestAlternateConfigs:
         assert fused.shape == ref.shape
         err = np.abs(fused - ref).max() / max(np.abs(ref).max(), 1e-8)
         assert err < 1e-3, err
+        # Golden anchor: the jnp-vs-fused comparison alone can't catch a
+        # filters.py bug BOTH paths inherit at non-default geometry, so
+        # pin one clip against the independent torch/scipy reference too
+        # (CLAUDE.md style rule: never our-impl-vs-our-impl only).
+        theirs = gold.extract_features(
+            torch.from_numpy(np.asarray(w[0])),
+            sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length, win_length=cfg.win_length,
+            n_mels=cfg.n_mels, n_mfcc=cfg.n_mfcc,
+            f_min=cfg.f_min, f_max=cfg.f_max,
+        ).numpy()
+        gerr = (
+            np.abs(fused[0] - theirs).max()
+            / max(np.abs(theirs).max(), 1e-8)
+        )
+        assert gerr < 1e-3, gerr
 
 
 class TestExtendedFlags:
