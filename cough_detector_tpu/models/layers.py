@@ -76,10 +76,14 @@ class BatchNorm(nn.Module):
             n = 1
             for ax in reduce_axes:
                 n *= x.shape[ax]
-            mean = jnp.mean(x.astype(jnp.float32), axis=reduce_axes)
-            var = jnp.mean(
-                jnp.square(x.astype(jnp.float32)), axis=reduce_axes
-            ) - jnp.square(mean)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            # Two-pass E[(x-mean)^2], exactly like torch's BatchNorm2d:
+            # the one-pass E[x^2]-E[x]^2 form cancels catastrophically
+            # for near-constant channels with a large mean (f32 roundoff
+            # ~mean^2*eps dwarfs a tiny true variance and can go
+            # NEGATIVE, turning rsqrt(var+eps) into NaN).
+            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = (

@@ -636,7 +636,16 @@ class DetectionServer:
             except ValueError as err:
                 raise _ProtocolViolation(str(err))
             with self._reg_lock:
-                self._pending_thresholds.append((frame.stream, thr))
+                # Last-writer-wins per slot: retunes only apply between
+                # ticks, so intermediate values were never observable —
+                # and a THRESH-spamming client cannot grow this list
+                # past num_streams entries.
+                for i, (sid, _) in enumerate(self._pending_thresholds):
+                    if sid == frame.stream:
+                        self._pending_thresholds[i] = (frame.stream, thr)
+                        break
+                else:
+                    self._pending_thresholds.append((frame.stream, thr))
         elif frame.type == protocol.CLOSE:
             self._release_slot(client, frame.stream)
         else:
@@ -650,6 +659,20 @@ class DetectionServer:
                 self._free.append(slot_id)
                 if slot_id in client.slots:
                     client.slots.remove(slot_id)
+                # Cross-tenant isolation: a queued reset or THRESH
+                # retune from the departing tenant must never apply to
+                # this slot's NEXT tenant (open→retune→close→reopen
+                # inside one tick period would otherwise leak the old
+                # sensitivity into the new stream). Purging here also
+                # bounds both lists at num_streams entries.
+                self._pending_resets = [
+                    (sid, t) for sid, t in self._pending_resets
+                    if sid != slot_id
+                ]
+                self._pending_thresholds = [
+                    (sid, t) for sid, t in self._pending_thresholds
+                    if sid != slot_id
+                ]
 
     def _release_client(self, client: _Client) -> None:
         for slot_id in list(client.slots):
@@ -671,9 +694,26 @@ class DetectionServer:
 
     def _tick_loop(self) -> None:
         if self._tick_policy == "eager":
+            # Lockstep readiness (_ready: every open slot has a full
+            # chunk) with a liveness deadline: one tenant that opens a
+            # slot and then goes silent must not stall scoring for
+            # everyone else (isolation contract). If a full tick period
+            # passes without readiness, tick anyway — silent lanes
+            # zero-fill, exactly as under the timer policy.
+            deadline = time.monotonic() + self._tick_seconds
             while not self._stop.is_set():
                 if self._ready():
                     self._tick_once()
+                    deadline = time.monotonic() + self._tick_seconds
+                elif time.monotonic() >= deadline:
+                    if self._ingest is not None:
+                        any_open = self._ingest.stats()["open_streams"] > 0
+                    else:
+                        with self._reg_lock:
+                            any_open = bool(self._slots)
+                    if any_open:
+                        self._tick_once()
+                    deadline = time.monotonic() + self._tick_seconds
                 else:
                     self._stop.wait(0.001)
             return

@@ -33,13 +33,13 @@
 // serve/native_ingest.py; same on-demand pattern as cdt_loader.cpp).
 
 #include <arpa/inet.h>
+#include <atomic>
 #include <cerrno>
 #include <cmath>
 #include <limits>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
 #include <fcntl.h>
 #include <mutex>
 #include <netinet/in.h>
@@ -87,7 +87,12 @@ struct Grant {
 struct Conn {
   int fd = -1;
   std::vector<uint8_t> inbuf;
-  std::deque<uint8_t> outbox;
+  // Outbox: contiguous bytes [out_head, outbox.size()) are unsent.
+  // A vector + head offset keeps flushes single-send() / single-memcpy
+  // (a byte deque walked per element cost real time on the one-core
+  // host that is this daemon's measured ceiling).
+  std::vector<uint8_t> outbox;
+  size_t out_head = 0;
   std::mutex out_m;
   std::vector<int> slots;    // owned slot ids
   bool dead = false;         // marked for reaping (io loop collects)
@@ -111,7 +116,9 @@ struct Server {
   long buffer_cap = 0;
 
   std::thread io;
-  bool stopping = false;
+  // Written by the control thread (cdt_ingest_stop), read by the epoll
+  // thread — must be atomic for a defined happens-before edge.
+  std::atomic<bool> stopping{false};
 
   std::mutex reg_m;          // slots' registry fields, free list, conns
   std::vector<std::unique_ptr<Slot>> slots;
@@ -141,9 +148,17 @@ bool set_nonblock(int fd) {
 void enqueue_bytes(Server* s, Conn* c, const uint8_t* data, size_t n,
                    bool* dropped) {
   std::lock_guard<std::mutex> lk(c->out_m);
-  if (c->outbox.size() + n > kOutboxCap) {
+  if ((c->outbox.size() - c->out_head) + n > kOutboxCap) {
     if (dropped) *dropped = true;
     return;
+  }
+  // Compact before growing if the sent prefix dominates the buffer —
+  // keeps steady-state memory ~the unsent bytes without a per-flush
+  // erase.
+  if (c->out_head > 4096 && c->out_head * 2 >= c->outbox.size()) {
+    c->outbox.erase(c->outbox.begin(),
+                    c->outbox.begin() + (long)c->out_head);
+    c->out_head = 0;
   }
   c->outbox.insert(c->outbox.end(), data, data + n);
   if (dropped) *dropped = false;
@@ -169,14 +184,27 @@ void send_frame(Server* s, Conn* c, uint8_t type, uint32_t stream,
 
 // reg_m held.
 void release_slot_locked(Server* s, int sid, Conn* c) {
-  Slot& sl = *s->slots[sid];
-  std::lock_guard<std::mutex> lk(sl.m);
-  if (!sl.open || sl.owner != c) return;
-  sl.open = false;
-  sl.pending = false;
-  sl.owner = nullptr;
-  sl.rd = sl.wr = 0;
+  {
+    Slot& sl = *s->slots[sid];
+    std::lock_guard<std::mutex> lk(sl.m);
+    if (!sl.open || sl.owner != c) return;
+    sl.open = false;
+    sl.pending = false;
+    sl.owner = nullptr;
+    sl.rd = sl.wr = 0;
+  }
   s->free_slots.push_back(sid);
+  // Cross-tenant isolation: pending control-plane work for this slot
+  // belongs to the departing tenant. A queued grant or THRESH retune
+  // that outlived its sender must never apply to the slot's NEXT
+  // tenant (and purging here also bounds both queues at num_streams —
+  // a slot can re-enter them only after a release purged it).
+  for (auto it = s->granted.begin(); it != s->granted.end();) {
+    it = (it->sid == sid) ? s->granted.erase(it) : it + 1;
+  }
+  for (auto it = s->thr_updates.begin(); it != s->thr_updates.end();) {
+    it = (it->first == sid) ? s->thr_updates.erase(it) : it + 1;
+  }
 }
 
 // epoll thread only. Callers mark c->dead to request reaping; the
@@ -199,16 +227,12 @@ void close_conn(Server* s, Conn* c) {
 
 void flush_conn(Server* s, Conn* c) {
   std::lock_guard<std::mutex> lk(c->out_m);
-  while (!c->outbox.empty()) {
-    uint8_t tmp[16384];
-    size_t n = 0;
-    for (auto it = c->outbox.begin();
-         it != c->outbox.end() && n < sizeof(tmp); ++it) {
-      tmp[n++] = *it;
-    }
-    ssize_t w = ::send(c->fd, tmp, n, MSG_NOSIGNAL);
+  while (c->out_head < c->outbox.size()) {
+    size_t n = c->outbox.size() - c->out_head;
+    ssize_t w = ::send(c->fd, c->outbox.data() + c->out_head, n,
+                       MSG_NOSIGNAL);
     if (w > 0) {
-      c->outbox.erase(c->outbox.begin(), c->outbox.begin() + w);
+      c->out_head += (size_t)w;
       if ((size_t)w < n) break;  // kernel buffer full
     } else if (w < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
       break;
@@ -217,13 +241,17 @@ void flush_conn(Server* s, Conn* c) {
       return;
     }
   }
+  if (c->out_head == c->outbox.size()) {
+    c->outbox.clear();
+    c->out_head = 0;
+  }
 }
 
 void rearm(Server* s, Conn* c) {
   bool pending_out;
   {
     std::lock_guard<std::mutex> lk(c->out_m);
-    pending_out = !c->outbox.empty();
+    pending_out = c->out_head < c->outbox.size();
   }
   epoll_event ev{};
   ev.events = EPOLLIN | (pending_out ? EPOLLOUT : 0);
@@ -291,13 +319,7 @@ void handle_frame(Server* s, Conn* c, const Header& h,
           // Undo the grant — otherwise capacity silently shrinks by one
           // slot per swallowed reply until disconnect.
           std::lock_guard<std::mutex> lk(s->reg_m);
-          release_slot_locked(s, sid, c);
-          for (auto it = s->granted.begin(); it != s->granted.end(); ++it) {
-            if (it->sid == sid && it->gen == gen) {
-              s->granted.erase(it);
-              break;
-            }
-          }
+          release_slot_locked(s, sid, c);  // also purges the grant
           for (auto it = c->slots.begin(); it != c->slots.end(); ++it) {
             if (*it == sid) {
               c->slots.erase(it);
@@ -382,7 +404,21 @@ void handle_frame(Server* s, Conn* c, const Header& h,
           std::lock_guard<std::mutex> slk(sl.m);
           owned = sl.open && sl.owner == c;
         }
-        if (owned) s->thr_updates.emplace_back((int)h.stream, thr);
+        if (owned) {
+          // Last-writer-wins per slot (retunes only apply between
+          // ticks, so intermediate values were never observable) —
+          // and a THRESH-spamming client cannot grow the queue past
+          // num_streams entries.
+          bool replaced = false;
+          for (auto& e : s->thr_updates) {
+            if (e.first == (int)h.stream) {
+              e.second = thr;
+              replaced = true;
+              break;
+            }
+          }
+          if (!replaced) s->thr_updates.emplace_back((int)h.stream, thr);
+        }
       }
       if (!owned) {
         // matches the python tier: retuning an unowned slot severs

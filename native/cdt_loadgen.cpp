@@ -98,6 +98,7 @@ int64_t now_ns() {
 
 std::atomic<long> g_events{0};
 std::atomic<bool> g_refused{false};
+std::atomic<bool> g_reader_dead{false};  // reader exited (EOF/bad frame)
 std::atomic<bool> g_handshake_done{false};
 std::mutex g_slots_mu;
 std::vector<uint32_t> g_slots;  // granted ids, in OPENED arrival order
@@ -107,6 +108,12 @@ std::vector<uint32_t> g_slots;  // granted ids, in OPENED arrival order
 // EOF/error — after the main loop shuts the socket down, that is the
 // orderly way out.
 void reader_loop(int fd) {
+  // Whatever path exits this loop (EOF, bad magic, refusal), flag it:
+  // main's handshake wait would otherwise spin forever on a connection
+  // that died mid-handshake (server crash/reset after our OPENs).
+  struct DeadFlag {
+    ~DeadFlag() { g_reader_dead.store(true); }
+  } on_exit;
   std::vector<uint8_t> payload(1 << 16);
   uint8_t head[kHeader];
   for (;;) {
@@ -193,6 +200,15 @@ int main(int argc, char** argv) {
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
 
   std::thread reader(reader_loop, fd);
+  // Early exits after this point must unwind the reader: returning with
+  // a joinable std::thread calls std::terminate (SIGABRT) instead of
+  // reporting the exit code.
+  auto bail = [&](int code) {
+    shutdown(fd, SHUT_RDWR);
+    if (reader.joinable()) reader.join();
+    close(fd);
+    return code;
+  };
 
   // Handshake: batch all OPENs in one write; the server replies one
   // OPENED per grant carrying the slot id (ids are NOT assumed
@@ -203,7 +219,7 @@ int main(int argc, char** argv) {
       put_header(opens.data() + i * kHeader, kOpen, 0, 0);
     if (!send_all(fd, opens.data(), opens.size())) {
       fprintf(stderr, "cdt_loadgen: open send failed\n");
-      return 2;
+      return bail(2);
     }
   }
   std::vector<uint32_t> slots;
@@ -215,7 +231,19 @@ int main(int argc, char** argv) {
         break;
       }
     }
-    if (g_refused.load()) return 2;
+    if (g_refused.load()) return bail(2);
+    if (g_reader_dead.load()) {
+      size_t got;
+      {
+        std::lock_guard<std::mutex> lk(g_slots_mu);
+        got = g_slots.size();
+      }
+      fprintf(stderr,
+              "cdt_loadgen: connection died mid-handshake "
+              "(%zu/%zu slots granted)\n",
+              got, n_slots);
+      return bail(2);
+    }
     usleep(1000);
   }
   g_handshake_done.store(true);
@@ -232,7 +260,7 @@ int main(int argc, char** argv) {
   fflush(stdout);
   {
     char line[64];
-    if (!fgets(line, sizeof(line), stdin)) return 2;  // GO
+    if (!fgets(line, sizeof(line), stdin)) return bail(2);  // GO
   }
 
   const int64_t t0 = now_ns();

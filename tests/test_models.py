@@ -184,6 +184,36 @@ class TestTrainSemantics:
         # and shape.
         assert got_logits.shape == want_logits.shape
 
+    def test_batchnorm_near_constant_channel_stays_finite(self):
+        """Train-mode variance must be the two-pass E[(x-mean)^2] like
+        torch: the one-pass E[x^2]-E[x]^2 form cancels catastrophically
+        for a near-constant channel with a large mean (f32 roundoff
+        ~mean^2*eps dwarfs the true variance and can go NEGATIVE, turning
+        rsqrt(var+eps) into NaN and poisoning the whole model)."""
+        from cough_detector_tpu.models.layers import BatchNorm
+
+        bn = BatchNorm()
+        rng = np.random.default_rng(0)
+        # mean ~100, true std ~1e-2 (var 1e-4): the one-pass f32 form's
+        # roundoff is ~mean^2 * eps_f32 ≈ 1.2e-3 — 10x the true variance.
+        x = (100.0 + 1e-2 * rng.standard_normal((64, 8, 8, 4))).astype(
+            np.float32
+        )
+        variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+        out, mutated = bn.apply(
+            variables, jnp.asarray(x), train=True, mutable=["batch_stats"]
+        )
+        out = np.asarray(out)
+        assert np.isfinite(out).all()
+        assert (np.asarray(mutated["batch_stats"]["var"]) >= 0).all()
+        # The normalized output must match a float64 reference: a
+        # cancelled variance mis-scales it by >~3x (or NaNs it outright).
+        x64 = x.astype(np.float64)
+        mean64 = x64.mean(axis=(0, 1, 2))
+        var64 = x64.var(axis=(0, 1, 2))
+        want = (x64 - mean64) / np.sqrt(var64 + 1e-5)
+        np.testing.assert_allclose(out, want, atol=0.05)
+
     def test_dropout_deterministic_in_eval(self):
         model, variables = _init("standard")
         x = jnp.ones((2, 90, 101))

@@ -589,6 +589,56 @@ class TestInt16HalfBandwidthIngest:
         finally:
             os.unlink(clip_path)
 
+    def test_native_loadgen_exits_when_server_dies_mid_handshake(self):
+        """A server that accepts the connection and immediately drops it
+        must make the loadgen EXIT with an error — not spin forever in
+        the handshake wait loop for OPENED grants that can never arrive
+        (which hung the whole bench parent on a crashed daemon)."""
+        import shutil
+        import socket as socketlib
+        import subprocess
+        import tempfile
+        import threading
+
+        if shutil.which("g++") is None:
+            pytest.skip("no native toolchain")
+        import bench  # repo root is on sys.path via conftest
+
+        binary = bench._ensure_loadgen()
+        assert binary is not None
+
+        wave = np.resize(
+            synth.synthetic_cough(3, 1.0), CHUNK * 4
+        ).astype(np.float32)
+        fd_, clip_path = tempfile.mkstemp(suffix=".f32")
+        with os.fdopen(fd_, "wb") as fh:
+            fh.write(wave.tobytes())
+        lis = socketlib.socket()
+        lis.bind(("127.0.0.1", 0))
+        lis.listen(1)
+        port = lis.getsockname()[1]
+
+        def _accept_and_drop():
+            try:
+                conn, _ = lis.accept()
+                conn.close()
+            except OSError:
+                pass
+
+        t = threading.Thread(target=_accept_and_drop, daemon=True)
+        t.start()
+        try:
+            proc = subprocess.run(
+                [str(binary), "127.0.0.1", str(port), "2", "10",
+                 "100000", str(CHUNK), clip_path],
+                capture_output=True, text=True, timeout=20,
+            )
+            assert proc.returncode == 2
+            assert "died mid-handshake" in proc.stderr
+        finally:
+            lis.close()
+            os.unlink(clip_path)
+
 
 class TestMulawQuarterBandwidthIngest:
     """h2d_dtype="mulaw": 8-bit μ-law companding on assemble, decode
@@ -815,6 +865,42 @@ class TestServeHardening:
         assert raw.recv(1) == b""
         raw.close()
 
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_eager_silent_tenant_does_not_stall_the_tick(
+        self, model_and_config, backend
+    ):
+        """tick_policy="eager" liveness: the lockstep readiness predicate
+        waits for every open slot's chunk, but a tenant that opens a slot
+        and then sends NOTHING must not stall scoring for the tenants that
+        do feed — after one tick period without readiness the deadline
+        fallback ticks anyway (silent lanes zero-fill, as under timer)."""
+        if backend == "native":
+            from cough_detector_tpu.serve import native_ingest
+
+            if not native_ingest.available():
+                pytest.skip("no native toolchain")
+        wave = synth.synthetic_cough(5, 2.0).astype(np.float32)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        srv = _make_server(
+            model_and_config, num_streams=2,
+            tick_policy="eager", backend=backend,
+        )
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as active, \
+                    DetectionClient(host, port) as silent:
+                s_active = active.open_stream()
+                silent.open_stream()  # never feeds a single sample
+                for t in range(n_chunks):
+                    active.send_audio(
+                        s_active, wave[t * CHUNK : (t + 1) * CHUNK]
+                    )
+                assert _wait(
+                    lambda: srv.stats()["ticks"] >= n_chunks, timeout=30.0
+                ), "silent tenant stalled the eager tick for everyone"
+                assert active.events(timeout=5.0)
+
     def test_native_backend_binds_only_after_start(self, model_and_config):
         """The C++ plane accepts and grants slots the moment it binds, so
         it must not exist until start() has compiled the tick program —
@@ -962,6 +1048,44 @@ class TestPerStreamThresholds:
                     lambda: srv.stats()["ticks"] >= 2 * n_chunks
                 )
                 assert b.events(timeout=5.0)
+
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_stale_thresh_is_purged_on_release(
+        self, model_and_config, backend
+    ):
+        """Cross-tenant isolation: a THRESH retune still queued when its
+        sender closes must NOT apply to the slot's next tenant. Tenant A
+        opens, queues a muting retune (1.1) and closes back-to-back (all
+        inside one tick period); tenant B reuses the slot at threshold 0
+        and must fire — both socket backends purge pending control-plane
+        work at slot release."""
+        if backend == "native":
+            from cough_detector_tpu.serve import native_ingest
+
+            if not native_ingest.available():
+                pytest.skip("no native toolchain")
+        wave = synth.synthetic_cough(5, 2.0).astype(np.float32)
+        n_chunks = wave.size // CHUNK
+        wave = wave[: n_chunks * CHUNK]
+        srv = _make_server(model_and_config, num_streams=1, backend=backend)
+        with srv:
+            host, port = srv.address
+            with DetectionClient(host, port) as a:
+                sid = a.open_stream(threshold=0.0)
+                a.set_threshold(sid, 1.1)  # muting retune, likely queued
+                a.close_stream(sid)
+            assert _wait(lambda: srv.stats()["open_streams"] == 0)
+            with DetectionClient(host, port) as b:
+                sid2 = b.open_stream(threshold=0.0)
+                base = srv.stats()["ticks"]
+                for t in range(n_chunks):
+                    b.send_audio(sid2, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(
+                    lambda: srv.stats()["ticks"] >= base + n_chunks + 2
+                )
+                assert b.events(timeout=5.0), (
+                    "a stale THRESH retune leaked to the next tenant"
+                )
 
     def test_malformed_open_payload_is_protocol_error(self, model_and_config):
         """OPEN with a payload that is neither empty nor 4 bytes must get
