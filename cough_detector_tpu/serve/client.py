@@ -37,6 +37,11 @@ class DetectionClient:
         self._opened: "queue.Queue[tuple]" = queue.Queue()
         self._pending_opens = 0
         self._pending_lock = threading.Lock()
+        # One frame at a time on the wire: sendall of a large AUDIO frame
+        # can split across syscalls, and the reader thread also sends
+        # (releasing stale grants) — unserialized, its CLOSE bytes could
+        # interleave INSIDE the audio payload and corrupt the framing.
+        self._send_lock = threading.Lock()
         self.server_errors: list = []  # ERROR frames outside a handshake
         self._closed = threading.Event()
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
@@ -71,11 +76,15 @@ class DetectionClient:
     ) -> int:
         """Allocate a stream slot. `threshold` (optional) sets THIS
         stream's confidence threshold — multi-tenant sensitivity without
-        a separate server; None uses the server's default."""
+        a separate server; None uses the server's default.
+
+        Replies carry no correlation id on the wire, so concurrent
+        open_stream calls from multiple threads may receive each other's
+        grants; call it from one thread at a time."""
         with self._pending_lock:
             self._pending_opens += 1
         try:
-            self._sock.sendall(protocol.encode_open(threshold))
+            self._sendall(protocol.encode_open(threshold))
             kind, value = self._opened.get(timeout=timeout)
         except Exception:
             # The handshake died (send failed or reply never came): retire
@@ -83,24 +92,40 @@ class DetectionClient:
             # isn't mis-consumed as the refusal of a handshake that no
             # longer exists, poisoning the next open_stream().
             with self._pending_lock:
-                if self._pending_opens > 0:
+                still_pending = self._pending_opens > 0
+                if still_pending:
                     self._pending_opens -= 1
-            raise
+            if still_pending:
+                raise
+            # The claim is gone but we saw no reply: the reader consumed
+            # it at the timeout boundary. It decrements and queues the
+            # reply ATOMICALLY under _pending_lock, so the reply is
+            # already in the queue — take it instead of orphaning it
+            # (a stale queued grant would off-by-one-bind every later
+            # open_stream, swapping slot ids across tenants).
+            try:
+                kind, value = self._opened.get_nowait()
+            except queue.Empty:
+                raise
         if kind == "error":
             raise ServerRefused(value)
         return value
 
+    def _sendall(self, data: bytes) -> None:
+        with self._send_lock:
+            self._sock.sendall(data)
+
     def close_stream(self, stream: int) -> None:
-        self._sock.sendall(protocol.encode(protocol.CLOSE, stream))
+        self._sendall(protocol.encode(protocol.CLOSE, stream))
 
     def set_threshold(self, stream: int, threshold: float) -> None:
         """Retune this stream's confidence threshold MID-STREAM (takes
         effect on the next server tick; audio, smoothing history and the
         debounce clock are untouched — unlike closing and reopening)."""
-        self._sock.sendall(protocol.encode_thresh(stream, threshold))
+        self._sendall(protocol.encode_thresh(stream, threshold))
 
     def send_audio(self, stream: int, samples: np.ndarray) -> None:
-        self._sock.sendall(protocol.encode_audio(stream, samples))
+        self._sendall(protocol.encode_audio(stream, samples))
 
     def events(self, timeout: float = 0.0) -> List[dict]:
         """Drain queued events; with timeout > 0, wait up to that long for
@@ -129,13 +154,15 @@ class DetectionClient:
                     with self._pending_lock:
                         # >0 guard: a reply landing after its open_stream()
                         # timed out (which already retired the claim) must
-                        # not drive the counter negative.
+                        # not drive the counter negative. Decrement and
+                        # enqueue ATOMICALLY: open_stream's timeout path
+                        # relies on "claim consumed => reply queued" to
+                        # recover a reply that lands at the deadline.
                         claimed = self._pending_opens > 0
                         if claimed:
                             self._pending_opens -= 1
-                    if claimed:
-                        self._opened.put(("ok", frame.stream))
-                    else:
+                            self._opened.put(("ok", frame.stream))
+                    if not claimed:
                         # A STALE grant (its open_stream already timed
                         # out): queuing it would mis-bind every later
                         # open_stream by one — slot ids and per-stream
@@ -153,9 +180,10 @@ class DetectionClient:
                         pending = self._pending_opens
                         if pending > 0:
                             self._pending_opens -= 1
-                    if pending > 0:
-                        self._opened.put(("error", frame.payload.decode()))
-                    else:
+                            self._opened.put(
+                                ("error", frame.payload.decode())
+                            )
+                    if pending <= 0:
                         self.server_errors.append(frame.payload.decode())
                 elif frame.type == protocol.EVENT:
                     ev = protocol.decode_event(frame)

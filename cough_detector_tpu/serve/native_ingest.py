@@ -50,55 +50,68 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             print("native ingest build failed; python socket tier in use")
             return None
-        lib = ctypes.CDLL(str(_LIB))
-        lib.cdt_ingest_start.restype = ctypes.c_void_p
-        lib.cdt_ingest_start.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_long, ctypes.c_char_p, ctypes.c_int,
-        ]
-        lib.cdt_ingest_port.restype = ctypes.c_int
-        lib.cdt_ingest_port.argtypes = [ctypes.c_void_p]
-        lib.cdt_ingest_granted.restype = ctypes.c_int
-        lib.cdt_ingest_granted.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_uint),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.cdt_ingest_thresh_updates.restype = ctypes.c_int
-        lib.cdt_ingest_thresh_updates.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ]
-        lib.cdt_ingest_assemble.restype = ctypes.c_int
-        lib.cdt_ingest_assemble.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.cdt_ingest_assemble_i16.restype = ctypes.c_int
-        lib.cdt_ingest_assemble_i16.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
-        ]
-        lib.cdt_ingest_assemble_u8.restype = ctypes.c_int
-        lib.cdt_ingest_assemble_u8.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
-        ]
-        lib.cdt_ingest_ready.restype = ctypes.c_int
-        lib.cdt_ingest_ready.argtypes = [ctypes.c_void_p]
-        lib.cdt_ingest_send_events.restype = None
-        lib.cdt_ingest_send_events.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_uint),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.cdt_ingest_stats.restype = None
-        lib.cdt_ingest_stats.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
-            ctypes.c_int,
-        ]
-        lib.cdt_ingest_stop.restype = None
-        lib.cdt_ingest_stop.argtypes = [ctypes.c_void_p]
+        try:
+            lib = _bind(ctypes.CDLL(str(_LIB)))
+        except (OSError, AttributeError) as err:
+            # A stale/foreign-platform/truncated .so must DEGRADE to the
+            # python socket tier (the documented auto-backend contract),
+            # not crash DetectionServer construction.
+            _build_failed = True
+            print(f"native ingest load failed ({err}); "
+                  "python socket tier in use")
+            return None
         _lib = lib
         return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.cdt_ingest_start.restype = ctypes.c_void_p
+    lib.cdt_ingest_start.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_char_p, ctypes.c_int,
+    ]
+    lib.cdt_ingest_port.restype = ctypes.c_int
+    lib.cdt_ingest_port.argtypes = [ctypes.c_void_p]
+    lib.cdt_ingest_granted.restype = ctypes.c_int
+    lib.cdt_ingest_granted.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_uint),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.cdt_ingest_thresh_updates.restype = ctypes.c_int
+    lib.cdt_ingest_thresh_updates.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.cdt_ingest_assemble.restype = ctypes.c_int
+    lib.cdt_ingest_assemble.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.cdt_ingest_assemble_i16.restype = ctypes.c_int
+    lib.cdt_ingest_assemble_i16.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_short),
+    ]
+    lib.cdt_ingest_assemble_u8.restype = ctypes.c_int
+    lib.cdt_ingest_assemble_u8.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    lib.cdt_ingest_ready.restype = ctypes.c_int
+    lib.cdt_ingest_ready.argtypes = [ctypes.c_void_p]
+    lib.cdt_ingest_send_events.restype = None
+    lib.cdt_ingest_send_events.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_uint),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.cdt_ingest_stats.restype = None
+    lib.cdt_ingest_stats.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.c_int,
+    ]
+    lib.cdt_ingest_stop.restype = None
+    lib.cdt_ingest_stop.argtypes = [ctypes.c_void_p]
+    return lib
 
 
 def available() -> bool:

@@ -95,10 +95,18 @@ class StreamingDetector:
             num_streams % len(jax.devices()) == 0
         ):
             mesh = make_mesh(axis="stream")
-        if mesh is False or (
-            mesh is not None and num_streams % mesh.devices.size != 0
-        ):
+        if mesh is False:
             mesh = None
+        elif mesh is not None and num_streams % mesh.devices.size != 0:
+            # An EXPLICIT mesh that cannot shard the stream axis must
+            # fail loudly — silently running single-device would hand
+            # the caller 1/Nth of the capacity they asked for. (The
+            # auto path above already guards divisibility.)
+            raise ValueError(
+                f"num_streams={num_streams} is not divisible by the "
+                f"mesh's {mesh.devices.size} devices; pad num_streams "
+                f"or pass mesh=False for single-device serving"
+            )
         self.mesh = mesh
 
         self.config = config

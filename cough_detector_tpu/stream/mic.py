@@ -248,8 +248,13 @@ class RealtimeMicrophoneDetector:
             # scorer must not grow the queue without bound (latency creep).
             self.errors.append("queue full: dropped a capture block")
 
-    def _drain(self) -> None:
-        while self._live.is_set():
+    def _drain(self, live: threading.Event) -> None:
+        # `live` is THIS worker's own flag (not self._live): a stop()
+        # whose join times out (first-tick jit compile can hold the
+        # scorer for minutes) followed by start() must not revive the
+        # old worker next to the new one — two workers interleaving
+        # ticks through one donated-state engine corrupts ring order.
+        while live.is_set():
             try:
                 block = self._queue.get(timeout=self.QUEUE_POLL_S)
             except queue.Empty:
@@ -269,20 +274,38 @@ class RealtimeMicrophoneDetector:
                 self._queue.task_done()
             if hit is not None:
                 when, conf = hit
-                self._sink(when, conf)
-                if self.on_detection:
-                    self.on_detection(when, conf)
+                # A raising sink/callback must not kill the worker:
+                # capture would keep filling the bounded queue while
+                # `running` still reads True and no detection is ever
+                # delivered again.
+                try:
+                    self._sink(when, conf)
+                    if self.on_detection:
+                        self.on_detection(when, conf)
+                except Exception as e:
+                    self.errors.append(f"detection callback failed: {e}")
+                    print(f"[capture] detection callback failed: {e}")
 
     def start(self) -> None:
         if self._live.is_set():
             return
+        if self._worker is not None and self._worker.is_alive():
+            # A previous stop() timed out joining (scorer mid-compile):
+            # that worker's own live flag is cleared so it WILL exit
+            # after the in-flight block; wait for it rather than double-
+            # driving the non-thread-safe engine.
+            self._worker.join()
+        self._worker = None
         self.inference.reset()
         # Open capture FIRST: if the device is busy/unplugged, open()
         # raises and we must not be left half-started (a set _live flag
         # plus an orphaned worker would make every retry a silent no-op).
         self.capture.open(self._enqueue)
+        self._live = threading.Event()
         self._live.set()
-        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker = threading.Thread(
+            target=self._drain, args=(self._live,), daemon=True
+        )
         self._worker.start()
         print(f"[capture] {self.backend} live at {self.sample_rate} Hz — "
               "ctrl-c ends the session")
@@ -294,7 +317,10 @@ class RealtimeMicrophoneDetector:
         self._live.clear()
         if self._worker is not None:
             self._worker.join(timeout=self.WORKER_JOIN_S)
-            self._worker = None
+            if not self._worker.is_alive():
+                self._worker = None
+            # else: keep the handle — start() joins it before spawning a
+            # replacement (its cleared live flag guarantees exit).
         print("[capture] session closed")
 
     def run(self) -> None:

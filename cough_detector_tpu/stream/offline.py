@@ -70,10 +70,13 @@ def smooth_and_debounce(
         t_samples = k * hop_samples + window_samples
         if smoothed >= threshold and t_samples - last_fire >= debounce:
             last_fire = t_samples
+            # Exact float64 division, like StreamingDetector's
+            # collect_events: routing t_samples through float32 rounds
+            # it to the f32 lattice past 2^24 samples (~17.5 min at
+            # 16 kHz), diverging from the streaming engine's times on
+            # exactly the hour-long recordings this module targets.
             out.append(
-                OfflineDetection(
-                    float(np.float32(t_samples) / sample_rate), smoothed
-                )
+                OfflineDetection(t_samples / sample_rate, smoothed)
             )
     return out
 

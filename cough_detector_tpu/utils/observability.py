@@ -48,6 +48,8 @@ class Throughput:
         self._t0 = time.perf_counter()
 
     def stop(self, items: int) -> None:
+        if self._t0 is None:
+            raise RuntimeError("Throughput.stop() without a prior start()")
         dt = time.perf_counter() - self._t0
         self._n_calls += 1
         if self._n_calls > self._warmup:

@@ -202,6 +202,19 @@ class TestStreamSharding:
         odd = StreamingDetector(num_streams=3, **kw)
         assert odd.mesh is None
 
+    def test_explicit_indivisible_mesh_raises(self, mesh, detector_setup):
+        """An EXPLICIT mesh that cannot shard the stream axis must fail
+        loudly — silently dropping to single-device would hand the
+        caller 1/Nth of the capacity they asked for."""
+        from cough_detector_tpu.stream import StreamingDetector
+
+        variables, cfg = detector_setup
+        with pytest.raises(ValueError, match="not divisible"):
+            StreamingDetector(
+                variables=variables, config=cfg, chunk_size=4000,
+                num_streams=3, mesh=mesh,
+            )
+
 
 class TestOfflineSharding:
     def test_long_recording_shards_over_mesh(self, mesh):

@@ -453,6 +453,46 @@ class TestMicListener:
         det.stop()
         assert len(det.errors) == 3  # one per block, loop survived
 
+    def test_callback_errors_are_recorded_not_fatal(self):
+        """A raising on_detection callback must not kill the drain
+        worker: later blocks keep scoring and later detections still
+        reach the sink (the worker previously died on the first raise
+        while `running` kept reporting True)."""
+        wave = np.zeros(16000, np.float32)
+        wave[1600:3200] = 0.9   # loud block -> detection -> raising callback
+        wave[12800:14400] = 0.8  # later loud block must STILL be detected
+        det, engine = self._listener(wave)
+        calls = []
+
+        def exploding(when, conf):
+            calls.append(conf)
+            raise RuntimeError("user callback bug")
+
+        det.on_detection = exploding
+        det.start()
+        det.drain_until_idle()
+        det.stop()
+        assert sum(engine.blocks) == 16000  # every block still scored
+        assert len(calls) == 2  # the second detection was delivered too
+        assert any("callback failed" in e for e in det.errors)
+
+    def test_restart_does_not_double_drive_the_engine(self):
+        """stop() then start(): exactly one worker drives the engine in
+        the second session (a timed-out join once abandoned a live
+        worker that a restart revived alongside the new one)."""
+        wave = np.zeros(8000, np.float32)
+        det, engine = self._listener(wave)
+        det.start()
+        det.drain_until_idle()
+        det.stop()
+        first_session = sum(engine.blocks)
+        # ArrayCapture replays from the start on reopen.
+        det.start()
+        det.drain_until_idle()
+        det.stop()
+        assert engine.resets == 2
+        assert sum(engine.blocks) == first_session + 8000  # no double feed
+
     def test_no_capture_stack_fails_loudly(self):
         from cough_detector_tpu.stream import mic
 
