@@ -32,7 +32,51 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-split", action="store_true",
                    help="Pack the whole directory into <output> directly "
                         "(no train/val subdirectories)")
+    p.add_argument("--config", type=str, default=None,
+                   help="Config JSON (train's <output>/config.json) or a "
+                        "checkpoint directory (meta.json's config_full): "
+                        "pack at ITS feature geometry so the shards match "
+                        "the model they will train/evaluate "
+                        "(ShardLoader rejects mismatched geometry loudly)")
+    p.add_argument("--sample-rate", type=int, default=None,
+                   help="Override the pack sample rate (Hz)")
+    p.add_argument("--segment-duration", type=float, default=None,
+                   help="Override the clip segment length (seconds)")
     return p
+
+
+def _feature_config(args) -> "FeatureConfig":
+    """Resolve the pack geometry: defaults < --config < explicit flags.
+    The geometry travels in the manifest; ShardLoader cross-checks it
+    against the training FeatureConfig (data/shards.py:158-176), so a
+    corpus packed here is verifiably tied to the config it was packed for."""
+    import dataclasses
+    import json as _json
+    from pathlib import Path
+
+    from ..config import Config, FeatureConfig
+
+    cfg = FeatureConfig()
+    if args.config:
+        path = Path(args.config)
+        meta = path / "meta.json"
+        if meta.exists():  # a checkpoint directory
+            full = _json.loads(meta.read_text()).get("config_full")
+            cfg = (
+                Config.from_json(_json.dumps(full)).features
+                if full
+                else Config.from_flat_dict(
+                    _json.loads(meta.read_text())["config"]
+                ).features
+            )
+        else:
+            cfg = Config.from_json(path.read_text()).features
+    overrides = {}
+    if args.sample_rate is not None:
+        overrides["sample_rate"] = args.sample_rate
+    if args.segment_duration is not None:
+        overrides["segment_duration"] = args.segment_duration
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
 def main(argv=None) -> None:
@@ -40,11 +84,10 @@ def main(argv=None) -> None:
 
     from pathlib import Path
 
-    from ..config import FeatureConfig
     from ..data.datasets import CoughDataset, prepare_dataset_split
     from ..data.shards import write_shards
 
-    cfg = FeatureConfig()
+    cfg = _feature_config(args)
     t0 = time.perf_counter()
     if args.no_split:
         parts = {"": CoughDataset(args.data_dir)}
@@ -67,6 +110,8 @@ def main(argv=None) -> None:
         }
     print(json.dumps({
         "output": args.output,
+        "sample_rate": cfg.sample_rate,
+        "segment_duration": cfg.segment_duration,
         "seconds": round(time.perf_counter() - t0, 3),
         **report,
     }))

@@ -57,13 +57,15 @@ class CoughDetector(nn.Module):
     precision_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         x = _as_nhwc(x).astype(self.dtype)
         for i, ch in enumerate(self.channels):
             x = ConvBlock(
                 ch, dtype=self.dtype, prec_mode=self.precision_mode,
                 name=f"block{i}",
-            )(x, train)
+            )(x, train, mask)
         x = global_avg_pool(x)
         # The head is the parity-dominant site (mxu_precision docstring)
         # and a negligible share of the FLOPs: always HIGH.
@@ -91,20 +93,22 @@ class CoughDetectorSmall(nn.Module):
     precision_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         pm = self.precision_mode
         x = _as_nhwc(x).astype(self.dtype)
         x = nn.Conv(
             16, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
             precision=mxu_precision(self.dtype, pm), name="stem_conv",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
+        x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train, mask)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = SeparableBlock(32, pool=True, dtype=self.dtype, prec_mode=pm, name="sep1")(x, train)
-        x = SeparableBlock(64, pool=True, dtype=self.dtype, prec_mode=pm, name="sep2")(x, train)
-        x = SeparableBlock(128, pool=False, dtype=self.dtype, prec_mode=pm, name="sep3")(x, train)
+        x = SeparableBlock(32, pool=True, dtype=self.dtype, prec_mode=pm, name="sep1")(x, train, mask)
+        x = SeparableBlock(64, pool=True, dtype=self.dtype, prec_mode=pm, name="sep2")(x, train, mask)
+        x = SeparableBlock(128, pool=False, dtype=self.dtype, prec_mode=pm, name="sep3")(x, train, mask)
 
         x = global_avg_pool(x)
         x = nn.Dense(
@@ -135,7 +139,9 @@ class CoughDetectorResidual(nn.Module):
     precision_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         x = _as_nhwc(x).astype(self.dtype)
         x = nn.Conv(
             self.channels[0],
@@ -146,7 +152,7 @@ class CoughDetectorResidual(nn.Module):
             precision=mxu_precision(self.dtype, self.precision_mode),
             name="stem_conv",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
+        x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train, mask)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
@@ -154,7 +160,7 @@ class CoughDetectorResidual(nn.Module):
             x = ResidualBlock(
                 ch, stride=2, dtype=self.dtype,
                 prec_mode=self.precision_mode, name=f"res{i}",
-            )(x, train)
+            )(x, train, mask)
 
         x = global_avg_pool(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -53,14 +53,29 @@ def mxu_precision(
 
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch semantics (momentum=0.1, eps=1e-5,
-    unbiased running-var update, biased normalization)."""
+    unbiased running-var update, biased normalization).
+
+    `mask` ((B,) float/bool, optional) excludes padded batch rows from the
+    train-time statistics: batches padded for mesh divisibility would
+    otherwise fold synthetic rows into the running mean/var (and into the
+    normalization of the real rows), silently biasing every later eval.
+    With the mask, the batch statistics — and therefore the loss and the
+    gradients of every real row — are EXACTLY those of the unpadded batch,
+    so a padded DP step reproduces the single-device trajectory bit for
+    bit. Both branches compute the unbiased correction n/(n-1) in f32 so
+    an all-ones mask is bit-identical to mask=None."""
 
     momentum: float = 0.1
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+        mask: jnp.ndarray = None,
+    ) -> jnp.ndarray:
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -73,19 +88,31 @@ class BatchNorm(nn.Module):
 
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
-            n = 1
-            for ax in reduce_axes:
-                n *= x.shape[ax]
             xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
             # Two-pass E[(x-mean)^2], exactly like torch's BatchNorm2d:
             # the one-pass E[x^2]-E[x]^2 form cancels catastrophically
             # for near-constant channels with a large mean (f32 roundoff
             # ~mean^2*eps dwarfs a tiny true variance and can go
             # NEGATIVE, turning rsqrt(var+eps) into NaN).
-            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            if mask is None:
+                n_static = 1
+                for ax in reduce_axes:
+                    n_static *= x.shape[ax]
+                n = jnp.asarray(n_static, jnp.float32)
+                mean = jnp.mean(xf, axis=reduce_axes)
+                var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+            else:
+                per_row = 1
+                for ax in reduce_axes[1:]:
+                    per_row *= x.shape[ax]
+                mb = mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1)
+                )
+                n = jnp.sum(mb) * per_row
+                mean = jnp.sum(xf * mb, axis=reduce_axes) / n
+                var = jnp.sum(jnp.square(xf - mean) * mb, axis=reduce_axes) / n
             if not self.is_initializing():
-                unbiased = var * (n / max(n - 1, 1))
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 )
@@ -112,7 +139,9 @@ class ConvBlock(nn.Module):
     prec_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         x = nn.Conv(
             self.features,
             (3, 3),
@@ -121,7 +150,7 @@ class ConvBlock(nn.Module):
             precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train, mask)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # Dropout2d: whole-channel dropout, broadcast over the spatial dims.
@@ -144,7 +173,9 @@ class SeparableBlock(nn.Module):
     prec_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.Conv(
             in_ch,
@@ -162,7 +193,7 @@ class SeparableBlock(nn.Module):
             precision=mxu_precision(self.dtype, self.prec_mode),
             name="pw",
         )(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train, mask)
         x = nn.relu(x)
         if self.pool:
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -182,7 +213,9 @@ class ResidualBlock(nn.Module):
     prec_mode: str = "high"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+    ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         needs_proj = in_ch != self.features or self.stride != 1
 
@@ -199,7 +232,7 @@ class ResidualBlock(nn.Module):
                 name="skip_conv",
             )(x)
             identity = BatchNorm(dtype=self.dtype, name="skip_bn")(
-                identity, train
+                identity, train, mask
             )
         else:
             identity = x
@@ -213,7 +246,7 @@ class ResidualBlock(nn.Module):
             precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv1",
         )(x)
-        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm(dtype=self.dtype, name="bn1")(out, train, mask)
         out = nn.relu(out)
         out = nn.Conv(
             self.features,
@@ -223,7 +256,7 @@ class ResidualBlock(nn.Module):
             precision=mxu_precision(self.dtype, self.prec_mode),
             name="conv2",
         )(out)
-        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm(dtype=self.dtype, name="bn2")(out, train, mask)
         return nn.relu(out + identity)
 
 

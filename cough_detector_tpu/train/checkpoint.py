@@ -58,11 +58,23 @@ def drain_pending_saves() -> None:
     the first failure. Called by the train loop once per epoch (the
     previous epoch's writes have had a whole epoch to land, so this is
     normally a no-op) and before train() returns, and by load_checkpoint
-    so a same-process reader can never observe a half-written tree."""
+    so a same-process reader can never observe a half-written tree.
+
+    Every drained future is waited on even after one fails — otherwise a
+    failed best_model write would abandon the latest_model write still
+    running on the writer thread (its outcome unobserved, its error
+    swallowed) while the caller unwinds."""
     with _writer_lock:
         pending, _pending[:] = _pending[:], []
+    first_exc = None
     for f in pending:
-        f.result()
+        try:
+            f.result()
+        except BaseException as e:
+            if first_exc is None:
+                first_exc = e
+    if first_exc is not None:
+        raise first_exc
 
 
 def save_checkpoint(

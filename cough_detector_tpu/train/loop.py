@@ -164,7 +164,6 @@ def train(
     # (epoch order is a pure function of (seed, epoch)), jax.device_put
     # lays it out over the global mesh, and XLA's psum crosses hosts.
     # Only rank 0 touches the filesystem (metrics, checkpoints).
-    n_procs = jax.process_count()
     is_main = jax.process_index() == 0
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -178,6 +177,25 @@ def train(
     n_shards = mesh.devices.size if mesh is not None else 1
     if mesh is not None:
         print(f"Data-parallel over {n_shards} devices: {mesh}")
+
+    # An explicit device_corpus=True must never degrade silently: the
+    # streamed fallback is ~84x slower over the dev tunnel, so an
+    # unsatisfiable request is an error, not a quiet mode switch. (Checked
+    # before any dataset work so a bad invocation fails immediately.)
+    if device_corpus is True:
+        if shards_dir is None:
+            raise ValueError(
+                "device_corpus=True requires shards_dir (a packed corpus "
+                "is what gets uploaded); pack one with cdt-pack or pass "
+                "device_corpus='auto'."
+            )
+        if tcfg.batch_size % n_shards != 0:
+            raise ValueError(
+                f"device_corpus=True requires batch_size divisible by the "
+                f"mesh size: batch_size={tcfg.batch_size} over {n_shards} "
+                f"devices: the scanned epoch program lays its (steps, B) "
+                f"batch matrices out over the mesh's data axis."
+            )
 
     if shards_dir is not None:
         train_loader = ShardLoader(

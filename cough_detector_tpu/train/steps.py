@@ -125,9 +125,10 @@ def train_step(
     replacement for the reference's CPU DataLoader feature extraction
     (reference: src/dataset.py:121-173).
 
-    `mask` excludes rows padded for mesh divisibility from the loss and
-    metrics. (BatchNorm running stats still see padded rows; with
-    drop_last batches the pad fraction is 0 in practice.)"""
+    `mask` excludes rows padded for mesh divisibility from the loss, the
+    metrics, AND the BatchNorm batch statistics (models/layers.py
+    BatchNorm): a padded step's loss, gradients and running stats are
+    exactly the unpadded batch's, so padding is trajectory-invariant."""
     feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
 
     def loss_fn(params):
@@ -135,6 +136,7 @@ def train_step(
             {"params": params, "batch_stats": state.batch_stats},
             feats,
             train=True,
+            mask=mask,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
@@ -327,19 +329,6 @@ def train_and_eval_epoch_scan(
         feature_fn=eval_feature_fn,
     )
     return state, train_ms, val_ms
-
-
-def make_epoch_fns(
-    train_feature_fn: Callable, eval_feature_fn: Callable
-) -> Tuple[Callable, Callable]:
-    train_fn = jax.jit(
-        functools.partial(train_epoch_scan, feature_fn=train_feature_fn),
-        donate_argnums=(0,),
-    )
-    eval_fn = jax.jit(
-        functools.partial(eval_epoch_scan, feature_fn=eval_feature_fn)
-    )
-    return train_fn, eval_fn
 
 
 def make_fused_epoch_fn(

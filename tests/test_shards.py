@@ -46,6 +46,46 @@ def packed(data_dir, tmp_path):
     return ds, str(out), manifest
 
 
+class TestPackGeometryFlags:
+    def test_pack_cli_honors_config_and_overrides(self, data_dir, tmp_path):
+        """cdt-pack must be able to pack for any feature geometry, not just
+        the defaults: --config takes a train-style config.json (or a
+        checkpoint dir) and --sample-rate/--segment-duration override it;
+        the geometry lands in the manifest, where ShardLoader's loud
+        cross-check ties the corpus to its config (r3 review)."""
+        from cough_detector_tpu.cli import pack
+
+        cfg = Config(features=FeatureConfig(sample_rate=8000,
+                                            segment_duration=0.5))
+        cfg_path = tmp_path / "config.json"
+        cfg_path.write_text(cfg.to_json())
+
+        out = tmp_path / "s8k"
+        pack.main([
+            "--data-dir", data_dir, "--output", str(out),
+            "--no-split", "--num-workers", "2",
+            "--config", str(cfg_path),
+        ])
+        manifest = json.loads((out / "manifest.json").read_text())
+        assert manifest["sample_rate"] == 8000
+        assert manifest["segment_samples"] == 4000
+        # Loads under the matching config; rejected under the default one.
+        loader = ShardLoader(str(out), 4, feature_config=cfg.features)
+        assert loader.n_clips == 20
+        with pytest.raises(ValueError, match="geometry"):
+            ShardLoader(str(out), 4, feature_config=FCFG)
+
+        out2 = tmp_path / "s11k"
+        pack.main([
+            "--data-dir", data_dir, "--output", str(out2),
+            "--no-split", "--num-workers", "2",
+            "--config", str(cfg_path), "--sample-rate", "11025",
+        ])
+        m2 = json.loads((out2 / "manifest.json").read_text())
+        assert m2["sample_rate"] == 11025  # flag beats --config
+        assert m2["segment_samples"] == int(11025 * 0.5)
+
+
 class TestPackRoundTrip:
     def test_shards_match_decode_path_within_half_lsb(self, packed):
         """Sequential ShardLoader batches must equal the decode-path
