@@ -85,6 +85,33 @@ class TestPackGeometryFlags:
         assert m2["sample_rate"] == 11025  # flag beats --config
         assert m2["segment_samples"] == int(11025 * 0.5)
 
+    def test_pack_cli_reads_checkpoint_dir(self, data_dir, tmp_path):
+        """--config also accepts a checkpoint directory: the geometry comes
+        from meta.json's config_full (the checkpoint's nested source of
+        truth, train/checkpoint.py), so a corpus can be packed to match an
+        already-trained model without hunting for its original config."""
+        from cough_detector_tpu.cli import pack
+
+        cfg = Config(features=FeatureConfig(sample_rate=8000,
+                                            segment_duration=0.5))
+        ckpt_dir = tmp_path / "best_model"
+        ckpt_dir.mkdir()
+        (ckpt_dir / "meta.json").write_text(json.dumps({
+            "epoch": 3, "metrics": {},
+            "config": cfg.to_flat_dict(),
+            "config_full": json.loads(cfg.to_json()),
+        }))
+
+        out = tmp_path / "from_ckpt"
+        pack.main([
+            "--data-dir", data_dir, "--output", str(out),
+            "--no-split", "--num-workers", "2",
+            "--config", str(ckpt_dir),
+        ])
+        manifest = json.loads((out / "manifest.json").read_text())
+        assert manifest["sample_rate"] == 8000
+        assert manifest["segment_samples"] == 4000
+
 
 class TestPackRoundTrip:
     def test_shards_match_decode_path_within_half_lsb(self, packed):
