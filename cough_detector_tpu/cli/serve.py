@@ -31,6 +31,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buffer-seconds", type=float, default=30.0)
     p.add_argument("--tick-policy", choices=["timer", "eager"],
                    default="timer")
+    p.add_argument("--liveness", type=float, default=None,
+                   help="Eager policy only: seconds one tenant may "
+                        "stall the lockstep tick before the server "
+                        "ticks anyway (starved lanes zero-fill). Fires "
+                        "only while readiness is asymmetric — an "
+                        "all-idle daemon never ticks. Default: one "
+                        "tick period; 'inf' disables (pure lockstep)")
     p.add_argument("--precision-mode", choices=["high", "serve"],
                    default="high",
                    help='"serve" = opt-in mixed-precision classifier '
@@ -93,6 +100,7 @@ def main(argv=None) -> None:
         smoothing_window=args.smoothing,
         debounce_seconds=args.debounce,
         tick_policy=args.tick_policy,
+        liveness_seconds=args.liveness,
         buffer_seconds=args.buffer_seconds,
         precision_mode=args.precision_mode,
         backend=args.backend,

@@ -97,6 +97,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.cdt_ingest_ready.restype = ctypes.c_int
     lib.cdt_ingest_ready.argtypes = [ctypes.c_void_p]
+    lib.cdt_ingest_readiness.restype = ctypes.c_int
+    lib.cdt_ingest_readiness.argtypes = [ctypes.c_void_p]
     lib.cdt_ingest_send_events.restype = None
     lib.cdt_ingest_send_events.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -269,6 +271,17 @@ class NativeIngest:
             if self._h is None:
                 return False
             return bool(self._lib.cdt_ingest_ready(self._h))
+
+    def readiness(self) -> int:
+        """Tri-state eager readiness (cdt_ingest_readiness), the C++
+        twin of the python tier's _readiness(): 2 = every open slot has
+        a full chunk (tick now); 1 = some ready, some starved (the
+        liveness deadline applies); 0 = no open slot has a full chunk
+        (nobody is stalled — the eager loop must not tick)."""
+        with self._call_lock:
+            if self._h is None:
+                return 0
+            return int(self._lib.cdt_ingest_readiness(self._h))
 
     def send_events(
         self,

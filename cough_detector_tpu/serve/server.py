@@ -12,7 +12,16 @@ Tick policies:
     (every chunk duration of wall time, independent of processing time),
     zero-filling slots that have no buffered audio. Real-time cadence.
   * "eager" (tests / offline drains): tick whenever every OPEN slot has a
-    full chunk buffered; deterministic, runs as fast as the device allows.
+    full chunk buffered; runs as fast as the device allows. Stream clocks
+    FREEZE while no slot has audio (no silence is ever injected into an
+    idle or in-flight stream), so a drain is deterministic: the same
+    offered audio yields the same events regardless of host load. The one
+    wall-clock element is the liveness deadline (`liveness_seconds`):
+    when readiness is ASYMMETRIC — one tenant's lane has a full chunk
+    while another's sits empty — for a full liveness period, the server
+    ticks anyway and the starved lanes zero-fill, so a silent tenant can
+    never stall a live one. Disable with liveness_seconds=float("inf")
+    for pure lockstep.
 
 Isolation and containment:
   * Slot reuse is clean: when a slot is granted, its device-side state
@@ -258,6 +267,7 @@ class DetectionServer:
         smoothing_window: int = 3,
         debounce_seconds: float = 0.5,
         tick_policy: str = "timer",
+        liveness_seconds: Optional[float] = None,
         buffer_seconds: float = 30.0,
         mesh=None,
         precision_mode: str = "high",
@@ -285,7 +295,20 @@ class DetectionServer:
         the f32 bytes for links where even int16 saturates; its
         signal-tracking quantization noise is an approximation (measured
         confidence deltas in docs/PARITY.md), so it is the explicit
-        opt-in for bandwidth-starved deployments, not a default."""
+        opt-in for bandwidth-starved deployments, not a default.
+
+        `liveness_seconds` (eager policy only): how long one tenant may
+        stall the lockstep tick before the server ticks anyway,
+        zero-filling the starved lanes. A liveness tick fires ONLY when
+        readiness is asymmetric — at least one open slot has a full
+        chunk buffered while another does not — so an all-idle daemon
+        (or one whose every lane's audio is merely in flight) never
+        ticks: eager streams' clocks freeze while no audio is offered,
+        which is what makes eager drains deterministic. Default (None)
+        is one tick period (chunk_size / sample_rate); float("inf")
+        disables liveness ticks entirely (pure lockstep: a silent
+        tenant then stalls everyone — only for tests/drains that
+        control every lane)."""
         if tick_policy not in ("timer", "eager"):
             raise ValueError(f"unknown tick_policy {tick_policy!r}")
         if backend == "auto":
@@ -319,6 +342,11 @@ class DetectionServer:
         self._host, self._port = host, port
         self._sample_rate = self._detector.config.features.sample_rate
         self._tick_seconds = chunk_size / self._sample_rate
+        if liveness_seconds is None:
+            liveness_seconds = self._tick_seconds
+        if not liveness_seconds > 0:
+            raise ValueError("liveness_seconds must be > 0")
+        self._liveness_seconds = float(liveness_seconds)
         self._buffer_cap = max(chunk_size, int(buffer_seconds * self._sample_rate))
         self._tick_policy = tick_policy
 
@@ -684,37 +712,62 @@ class DetectionServer:
     # -- device side -----------------------------------------------------
 
     def _ready(self) -> bool:
+        return self._readiness() == 2
+
+    def _readiness(self) -> int:
+        """Tri-state eager readiness (twin: cdt_ingest_readiness):
+        2 = >=1 open slot and EVERY open slot has a full chunk buffered
+        (tick now); 1 = some open slot is ready while another is not
+        (a live tenant is being stalled — the liveness deadline
+        applies); 0 = no open slot has a full chunk (nobody is stalled;
+        the eager loop must not tick — a zero-fill tick here would
+        inject silence into streams whose audio is merely in flight)."""
         if self._ingest is not None:
-            return self._ingest.ready()
+            return self._ingest.readiness()
         with self._reg_lock:
             slots = list(self._slots.values())
-        return bool(slots) and all(
-            s.buffered >= self.chunk_size for s in slots
+        if not slots:
+            return 0
+        n_ready = sum(
+            1 for s in slots if s.buffered >= self.chunk_size
         )
+        if n_ready == 0:
+            return 0
+        return 2 if n_ready == len(slots) else 1
 
     def _tick_loop(self) -> None:
         if self._tick_policy == "eager":
-            # Lockstep readiness (_ready: every open slot has a full
-            # chunk) with a liveness deadline: one tenant that opens a
-            # slot and then goes silent must not stall scoring for
-            # everyone else (isolation contract). If a full tick period
-            # passes without readiness, tick anyway — silent lanes
-            # zero-fill, exactly as under the timer policy.
-            deadline = time.monotonic() + self._tick_seconds
+            # Lockstep readiness with an ASYMMETRY-GATED liveness
+            # deadline: one tenant that opens a slot and then goes
+            # silent must not stall scoring for tenants that do feed
+            # (isolation contract), so once readiness has been
+            # asymmetric (_readiness()==1: someone has a full chunk,
+            # someone else doesn't) for liveness_seconds, tick anyway —
+            # the starved lanes zero-fill, exactly as under the timer
+            # policy. While NO open slot has a full chunk there is
+            # nobody to protect, so no deadline is armed and no tick
+            # fires: an eager stream's clock freezes while no audio is
+            # offered, which is what makes eager drains deterministic
+            # (the r3 flake was the old unconditional deadline
+            # injecting zero-fill ticks mid-stream whenever full-suite
+            # CPU contention delayed frame parsing by one tick period).
+            deadline = None
             while not self._stop.is_set():
-                if self._ready():
+                r = self._readiness()
+                if r == 2:
                     self._tick_once()
-                    deadline = time.monotonic() + self._tick_seconds
-                elif time.monotonic() >= deadline:
-                    if self._ingest is not None:
-                        any_open = self._ingest.stats()["open_streams"] > 0
-                    else:
-                        with self._reg_lock:
-                            any_open = bool(self._slots)
-                    if any_open:
+                    deadline = None
+                elif r == 1:
+                    now = time.monotonic()
+                    if deadline is None:
+                        deadline = now + self._liveness_seconds
+                    elif now >= deadline:
                         self._tick_once()
-                    deadline = time.monotonic() + self._tick_seconds
+                        deadline = None
+                    else:
+                        self._stop.wait(min(0.001, deadline - now))
                 else:
+                    deadline = None
                     self._stop.wait(0.001)
             return
         # Timer mode: absolute deadlines, so the cadence is tick_seconds of

@@ -758,24 +758,35 @@ int cdt_ingest_assemble(void* h, float* dst) {
   return assemble_impl((Server*)h, dst);
 }
 
-// Eager-tick readiness (serve/server.py tick_policy="eager"): 1 iff at
-// least one slot is open and EVERY open slot has a full chunk buffered —
-// the same predicate the python tier's _ready() computes over its slot
-// registry. Pending (granted-but-unactivated) slots count too: the tick
-// that follows activates them via cdt_ingest_granted before assembling,
-// so their audio is consumed by that same tick.
-int cdt_ingest_ready(void* h) {
+// Eager-tick readiness (serve/server.py tick_policy="eager"), tri-state —
+// the C++ twin of the python tier's _readiness() over its slot registry:
+//   2: >=1 slot open and EVERY open slot has a full chunk -> tick now;
+//   1: SOME open slot has a full chunk but another does not -> a live
+//      tenant is being stalled; the liveness deadline applies;
+//   0: no open slot has a full chunk (no slots, or all idle/partial) ->
+//      nobody is stalled, the eager loop must NOT tick (a zero-fill tick
+//      here would inject silence into streams whose audio is merely
+//      in flight).
+// Pending (granted-but-unactivated) slots count too: the tick that
+// follows activates them via cdt_ingest_granted before assembling, so
+// their audio is consumed by that same tick.
+int cdt_ingest_readiness(void* h) {
   auto* s = (Server*)h;
-  int open_slots = 0;
+  int open_slots = 0, ready_slots = 0;
   for (int sid = 0; sid < s->num_streams; ++sid) {
     Slot& sl = *s->slots[sid];
     std::lock_guard<std::mutex> lk(sl.m);
     if (!sl.open) continue;
     ++open_slots;
-    if (sl.wr - sl.rd < (size_t)s->chunk) return 0;
+    if (sl.wr - sl.rd >= (size_t)s->chunk) ++ready_slots;
   }
-  return open_slots > 0 ? 1 : 0;
+  if (open_slots == 0 || ready_slots == 0) return 0;
+  return ready_slots == open_slots ? 2 : 1;
 }
+
+// Boolean view kept for the original twin contract
+// (cdt_ingest_ready <-> server._ready()): all open slots ready.
+int cdt_ingest_ready(void* h) { return cdt_ingest_readiness(h) == 2; }
 
 // int16 PCM assembly (quantize-on-assemble): same tick semantics, half
 // the host→device bytes. Pairs with the in-jit dequant in
