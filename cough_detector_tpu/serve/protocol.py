@@ -1,5 +1,11 @@
 """Wire protocol for the multi-stream detection server.
 
+Normative spec: docs/PROTOCOL.md (frame table, byte layouts, generation
+semantics, backpressure rules). This module and the C++ socket plane
+(native/cdt_ingest.cpp) are byte-compatible implementations of that
+document; tests/test_protocol_doc.py checks this one against the doc's
+conformance examples.
+
 The reference has no network serving surface (its serving story is the
 in-process mic loop, reference: src/inference.py:250-451); this is the
 TPU-native production path: many clients feed PCM over sockets into one

@@ -11,7 +11,10 @@
 // memcpy-per-slot fill of the batch), dispatches the XLA tick, and
 // hands detections back via cdt_ingest_send_events().
 //
-// Wire protocol: byte-identical to serve/protocol.py —
+// Wire protocol: normative spec in docs/PROTOCOL.md (frame table, byte
+// layouts, generation semantics, backpressure rules); byte-identical to
+// serve/protocol.py, which tests/test_protocol_doc.py conformance-checks
+// against the doc's examples —
 //   header <HBBII> little-endian: magic 0x0CD7, type u8, flags u8,
 //   stream u32, length u32; AUDIO payload f32le PCM; EVENT payload
 //   UTF-8 JSON {"time": s, "confidence": p}; ERROR payload UTF-8 text.
