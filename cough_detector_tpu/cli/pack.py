@@ -59,15 +59,19 @@ def _feature_config(args) -> "FeatureConfig":
     cfg = FeatureConfig()
     if args.config:
         path = Path(args.config)
-        meta = path / "meta.json"
-        if meta.exists():  # a checkpoint directory
-            full = _json.loads(meta.read_text()).get("config_full")
+        if path.is_dir():  # a checkpoint directory
+            meta = path / "meta.json"
+            if not meta.exists():
+                raise SystemExit(
+                    f"--config {path} is a directory with no meta.json — "
+                    "expected a checkpoint directory or a config JSON file"
+                )
+            doc = _json.loads(meta.read_text())
+            full = doc.get("config_full")
             cfg = (
                 Config.from_json(_json.dumps(full)).features
                 if full
-                else Config.from_flat_dict(
-                    _json.loads(meta.read_text())["config"]
-                ).features
+                else Config.from_flat_dict(doc["config"]).features
             )
         else:
             cfg = Config.from_json(path.read_text()).features

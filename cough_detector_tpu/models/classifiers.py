@@ -14,7 +14,7 @@ internally (NHWC). `predict` mirrors the reference's softmax+argmax helper
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,7 @@ class CoughDetector(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         x = _as_nhwc(x).astype(self.dtype)
         for i, ch in enumerate(self.channels):
@@ -94,7 +94,7 @@ class CoughDetectorSmall(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         pm = self.precision_mode
         x = _as_nhwc(x).astype(self.dtype)
@@ -140,7 +140,7 @@ class CoughDetectorResidual(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         x = _as_nhwc(x).astype(self.dtype)
         x = nn.Conv(

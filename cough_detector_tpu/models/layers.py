@@ -13,7 +13,7 @@ SURVEY.md §7 (hard part b).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,7 +74,7 @@ class BatchNorm(nn.Module):
         self,
         x: jnp.ndarray,
         train: bool = False,
-        mask: jnp.ndarray = None,
+        mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
@@ -109,8 +109,16 @@ class BatchNorm(nn.Module):
                     (-1,) + (1,) * (x.ndim - 1)
                 )
                 n = jnp.sum(mb) * per_row
-                mean = jnp.sum(xf * mb, axis=reduce_axes) / n
-                var = jnp.sum(jnp.square(xf - mean) * mb, axis=reduce_axes) / n
+                # Guard the fully-padded batch (sum(mask)=0): without it
+                # the 0/0 mean/var would silently poison running stats
+                # with NaN. Callers normally guarantee >=1 real row; a
+                # degenerate batch now contributes mean=0/var=0 instead.
+                n_safe = jnp.maximum(n, 1.0)
+                mean = jnp.sum(xf * mb, axis=reduce_axes) / n_safe
+                var = (
+                    jnp.sum(jnp.square(xf - mean) * mb, axis=reduce_axes)
+                    / n_safe
+                )
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (
@@ -140,7 +148,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         x = nn.Conv(
             self.features,
@@ -174,7 +182,7 @@ class SeparableBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = nn.Conv(
@@ -214,7 +222,7 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, mask: jnp.ndarray = None
+        self, x: jnp.ndarray, train: bool = False, mask: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         in_ch = x.shape[-1]
         needs_proj = in_ch != self.features or self.stride != 1

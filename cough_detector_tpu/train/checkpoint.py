@@ -73,6 +73,10 @@ def drain_pending_saves() -> None:
         except BaseException as e:
             if first_exc is None:
                 first_exc = e
+            else:
+                # A second distinct disk failure must leave a trace, not
+                # vanish: attach it to the exception the caller sees.
+                first_exc.add_note(f"additional pending-save failure: {e!r}")
     if first_exc is not None:
         raise first_exc
 

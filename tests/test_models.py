@@ -214,6 +214,27 @@ class TestTrainSemantics:
         want = (x64 - mean64) / np.sqrt(var64 + 1e-5)
         np.testing.assert_allclose(out, want, atol=0.05)
 
+    def test_batchnorm_all_padded_mask_stays_finite(self):
+        """A fully-padded batch (mask all zero) must not divide by n=0:
+        the guarded denominator yields mean=0/var=0 instead of NaN, so a
+        degenerate step can never silently poison the running stats
+        (ADVICE r3; layers.py n_safe guard)."""
+        from cough_detector_tpu.models.layers import BatchNorm
+
+        bn = BatchNorm()
+        x = jnp.ones((4, 8, 8, 2), jnp.float32)
+        variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+        out, mutated = bn.apply(
+            variables,
+            x,
+            train=True,
+            mask=jnp.zeros((4,), jnp.float32),
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(np.asarray(out)).all()
+        for leaf in jax.tree_util.tree_leaves(mutated):
+            assert np.isfinite(np.asarray(leaf)).all()
+
     def test_dropout_deterministic_in_eval(self):
         model, variables = _init("standard")
         x = jnp.ones((2, 90, 101))

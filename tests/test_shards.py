@@ -85,6 +85,20 @@ class TestPackGeometryFlags:
         assert m2["sample_rate"] == 11025  # flag beats --config
         assert m2["segment_samples"] == int(11025 * 0.5)
 
+    def test_pack_cli_rejects_dir_without_meta(self, data_dir, tmp_path):
+        """--config pointing at a directory with no meta.json (a typo'd
+        checkpoint path) must die with a clear message, not a raw
+        IsADirectoryError (ADVICE r3)."""
+        from cough_detector_tpu.cli import pack
+
+        empty = tmp_path / "not_a_ckpt"
+        empty.mkdir()
+        with pytest.raises(SystemExit, match="meta.json"):
+            pack.main([
+                "--data-dir", data_dir, "--output", str(tmp_path / "out"),
+                "--no-split", "--config", str(empty),
+            ])
+
     def test_pack_cli_reads_checkpoint_dir(self, data_dir, tmp_path):
         """--config also accepts a checkpoint directory: the geometry comes
         from meta.json's config_full (the checkpoint's nested source of
@@ -111,6 +125,37 @@ class TestPackGeometryFlags:
         manifest = json.loads((out / "manifest.json").read_text())
         assert manifest["sample_rate"] == 8000
         assert manifest["segment_samples"] == 4000
+
+
+class TestProcessSlices:
+    def test_shard_loader_slices_reassemble(self, packed):
+        """ShardLoader honors the same multi-host process-slice contract
+        as BatchLoader (shared _EpochKeyedLoader): per-rank slices
+        reassemble bit-exactly into the global batches, and the gather
+        work splits between ranks."""
+        _, shard_dir, _ = packed
+
+        def make(lo=None, hi=None):
+            sl = ShardLoader(shard_dir, 8, weighted=True, seed=5)
+            sl.set_epoch(2)
+            if lo is not None:
+                sl.set_process_slice(lo, hi, 8)
+            return sl
+
+        global_batches = list(make())
+        r0, r1 = list(make(0, 4)), list(make(4, 8))
+        assert len(global_batches) == len(r0) == len(r1) == 3
+        for (gw, gl), (w0, l0, n0), (w1, l1, n1) in zip(
+            global_batches, r0, r1
+        ):
+            n = gw.shape[0]
+            assert n0 == n1 == n
+            np.testing.assert_array_equal(
+                np.concatenate([w0, w1])[:n], gw
+            )
+            np.testing.assert_array_equal(
+                np.concatenate([l0, l1])[:n], gl
+            )
 
 
 class TestPackRoundTrip:
@@ -301,7 +346,7 @@ class TestTrainFromShards:
                 json.loads(l)
                 for l in (out / "metrics.jsonl").read_text().splitlines()
             ]
-        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
         assert len(recs["scan"]) == len(recs["stream"]) == 2
         for ra, rb in zip(recs["scan"], recs["stream"]):
             for k, va in ra.items():
@@ -309,6 +354,43 @@ class TestTrainFromShards:
                     continue
                 np.testing.assert_allclose(
                     rb[k], va, rtol=1e-4, atol=1e-6,
+                    err_msg=f"epoch {ra['epoch']} field {k}",
+                )
+
+    def test_sharded_device_corpus_matches_replicated(
+        self, data_dir, tmp_path
+    ):
+        """Row-sharding the device-resident corpus across the mesh
+        (corpus > per-device budget; parallel.corpus_sharding + the
+        routed collective gather) must reproduce the replicated layout's
+        metrics exactly — same batches, same order, only the storage
+        layout and the gather collective differ. With the tiny budget
+        here the corpus (640 KB) exceeds one device's budget (100 KB)
+        but fits the 8-device mesh total, proving capacity scales with
+        the mesh (r3 VERDICT weak #3 / next #4)."""
+        from cough_detector_tpu.train import train
+
+        shards = self._pack(data_dir, tmp_path)
+        out_rep = tmp_path / "replicated"
+        out_sh = tmp_path / "sharded"
+        train(None, str(out_rep), config=self._cfg(2), shards_dir=shards,
+              device_corpus=True)
+        train(None, str(out_sh), config=self._cfg(2), shards_dir=shards,
+              device_corpus=True, device_corpus_budget=100_000)
+        recs = {}
+        for name, out in (("rep", out_rep), ("sh", out_sh)):
+            recs[name] = [
+                json.loads(l)
+                for l in (out / "metrics.jsonl").read_text().splitlines()
+            ]
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
+        assert len(recs["rep"]) == len(recs["sh"]) == 2
+        for ra, rb in zip(recs["rep"], recs["sh"]):
+            for k, va in ra.items():
+                if k in skip:
+                    continue
+                np.testing.assert_allclose(
+                    rb[k], va, rtol=1e-6, atol=0,
                     err_msg=f"epoch {ra['epoch']} field {k}",
                 )
 
@@ -336,7 +418,7 @@ class TestTrainFromShards:
             ])
         assert [r["epoch"] for r in recs[0]] == [0, 1, 2]
         assert [r["epoch"] for r in recs[1]] == [0, 1, 2]
-        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
         for ra, rb in zip(*recs):
             for k, va in ra.items():
                 if k in skip:

@@ -480,9 +480,13 @@ class TestDrainSurfacesEveryFailure:
         ckpt._submit(fail_first)
         ckpt._submit(fail_second)
         ckpt._submit(done.set)
-        with pytest.raises(RuntimeError, match="first"):
+        with pytest.raises(RuntimeError, match="first") as excinfo:
             ckpt.drain_pending_saves()
         assert done.is_set(), "drain returned before later futures finished"
+        # The second failure must leave a trace on the raised exception
+        # (ADVICE r3: later disk errors were observed but discarded).
+        notes = getattr(excinfo.value, "__notes__", [])
+        assert any("second" in n for n in notes), notes
         ckpt.drain_pending_saves()  # queue fully drained: no residual raise
 
 
@@ -574,7 +578,7 @@ class TestDeterministicResume:
         ]
         assert [r["epoch"] for r in recs_a] == [0, 1, 2, 3]
         assert [r["epoch"] for r in recs_b] == [0, 1, 2, 3]
-        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
         for ra, rb in zip(recs_a, recs_b):
             for k, va in ra.items():
                 if k in skip:
