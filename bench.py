@@ -407,10 +407,17 @@ def daemon_bench(
     return record
 
 
-def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
+def main(batch: int = None, n_iters: int = 20, mode: str = "high",
+         trace: str = None) -> None:
     """mode: "high" (default, ≤1e-3 parity), "serve" (opt-in mixed
     precision, ~2-5e-4 absolute logits error — docs/PARITY.md), or "bf16"
-    (fastest, outside the parity budget)."""
+    (fastest, outside the parity budget).
+
+    trace: optional directory — after the timed loop, capture a
+    jax.profiler device trace (TensorBoard/Perfetto-viewable) of a few
+    extra iterations via utils/observability.capture_trace. Captured
+    AFTER the measurement so profiling overhead can't perturb the
+    headline number."""
     import jax
     import jax.numpy as jnp
 
@@ -482,6 +489,18 @@ def main(batch: int = None, n_iters: int = 20, mode: str = "high") -> None:
     }
     if mode != "high":
         record["mode"] = mode  # opt-in fast path, outside the default claim
+    if trace:
+        from cough_detector_tpu.utils.observability import (
+            capture_trace,
+            trace_span,
+        )
+
+        with capture_trace(trace):
+            with trace_span("bench_headline_forward"):
+                for _ in range(3):
+                    acc = forward_timed(waves, acc)
+                float(acc)
+        record["trace"] = trace
     print(json.dumps(record))
 
 
@@ -538,4 +557,5 @@ if __name__ == "__main__":
         )
     else:
         main(batch=_flag("--batch", None, cast=int),
-             mode=_flag("--mode", "high", {"high", "serve", "bf16"}))
+             mode=_flag("--mode", "high", {"high", "serve", "bf16"}),
+             trace=_flag("--trace", None))

@@ -42,6 +42,7 @@ def main(argv=None) -> None:
     from ..data import audio_io
     from ..data.datasets import BatchLoader, ClipDataset, CoughDataset
     from ..ops import frontend
+    from ..utils.observability import Throughput
 
     cfg = FeatureConfig()
     root = Path(args.data_dir)
@@ -85,9 +86,15 @@ def main(argv=None) -> None:
     # rbg PRNG: threefry normal draws cost ~18 ms per (512, 16000) on v5e
     # (same choice as the trainer, train/loop.py).
     key = jax.random.key(args.seed, impl="rbg")
+    # Steady-state throughput (utils/observability.py): the first batch
+    # carries the XLA compile (30 s-5 min over the dev tunnel), so the
+    # warmup-discarding counter reports what a long ingest run sustains,
+    # alongside the end-to-end clips_per_sec that includes it.
+    steady = Throughput(warmup=1)
     t0 = time.perf_counter()
     n = 0
     for waves, labels in loader:
+        steady.start()
         key, sub = jax.random.split(key)
         # Pad the tail batch to the FULL batch shape, not just a
         # device-count multiple: a shorter final batch is a distinct XLA
@@ -102,6 +109,7 @@ def main(argv=None) -> None:
         f = featurize(dev_waves, sub)
         feats_out.append(np.asarray(f)[:real])
         labels_out.append(labels)
+        steady.stop(real)
         n += real
     dt = time.perf_counter() - t0
 
@@ -120,6 +128,7 @@ def main(argv=None) -> None:
                 "feature_shape": list(features.shape[1:]),
                 "seconds": round(dt, 3),
                 "clips_per_sec": round(n / dt, 1),
+                "steady_clips_per_sec": round(steady.items_per_sec, 1),
                 "devices": n_dev,
                 "output": args.output,
             }

@@ -225,6 +225,31 @@ class _EpochKeyedLoader:
     context) and `_batch_at(idxs, scope, rng)` (build one batch).
     """
 
+    # Multi-host input sharding (None = build full global batches).
+    _local_rows = None
+    # Host-side work counter: real rows materialized by this loader
+    # (decoded/cropped or shard-gathered). Under multi-host local slicing
+    # the per-rank counts sum to the single-process total — the probe
+    # tests/test_distributed.py uses to prove each rank does 1/P of the
+    # input work.
+    rows_built = 0
+
+    def set_process_slice(self, lo: int, hi: int, pad_to: int) -> None:
+        """Restrict batch BUILDING to global rows [lo, hi) of each batch
+        padded to `pad_to` rows — the rows this process's addressable
+        devices hold under batch sharding (SURVEY.md §2.9 "sharded
+        host-to-device pipeline"). The epoch order, and every RNG draw
+        that shapes it (sampling, crop shifts), stays GLOBAL — all ranks
+        compute the identical (seed, epoch) order and slice it — so
+        metrics and trajectories are bit-identical to the global path
+        while each rank decodes only its 1/P share. Batches then yield
+        (local_waves, local_labels, n_global) instead of the global
+        (waves, labels); the train loop assembles them into one global
+        jax.Array via jax.make_array_from_process_local_data."""
+        if not (0 <= lo <= hi <= pad_to):
+            raise ValueError(f"bad process slice [{lo}, {hi}) of {pad_to}")
+        self._local_rows = (int(lo), int(hi), int(pad_to))
+
     def __len__(self) -> int:
         n = self._n_samples()
         if self.drop_last:
@@ -439,35 +464,66 @@ class BatchLoader(_EpochKeyedLoader):
 
     def _make_batch(
         self, idxs: np.ndarray, pool, rng: np.random.Generator
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Tuple[np.ndarray, ...]:
         paths = [self.dataset.samples[i][0] for i in idxs]
         labels = np.asarray(
             [self.dataset.samples[i][1] for i in idxs], np.int32
         )
+        # Crop-shift draws are ALWAYS full-batch-shaped, before any
+        # process slicing: the RNG stream is part of the (seed, epoch)
+        # determinism contract, so a rank building 1/P of the rows must
+        # consume exactly the draws the global path would.
+        fracs = self._shifts_for(len(paths), rng)
+
+        n_global = len(idxs)
+        if self._local_rows is not None:
+            lo, hi, _ = self._local_rows
+            s_lo, s_hi = min(lo, n_global), min(hi, n_global)
+            paths = paths[s_lo:s_hi]
+            fracs = fracs[s_lo:s_hi]
+
+        self.rows_built += len(paths)
         if self._native:
             from . import audio_io, native_loader
 
-            fracs = self._shifts_for(len(paths), rng)
-            waves, n_ok, errors = native_loader.load_batch(
-                paths, self.cfg.segment_samples, self.cfg.sample_rate,
-                n_threads=self.num_workers,
-                shift_fracs=fracs if np.any(fracs) else None,
-            )
-            if n_ok < len(paths):  # fail hard, like the python path
-                raise audio_io.AudioDecodeError(
-                    f"{len(paths) - n_ok} clip(s) failed to decode: {errors}"
+            if paths:
+                waves, n_ok, errors = native_loader.load_batch(
+                    paths, self.cfg.segment_samples, self.cfg.sample_rate,
+                    n_threads=self.num_workers,
+                    shift_fracs=fracs if np.any(fracs) else None,
                 )
+                if n_ok < len(paths):  # fail hard, like the python path
+                    raise audio_io.AudioDecodeError(
+                        f"{len(paths) - n_ok} clip(s) failed to decode: "
+                        f"{errors}"
+                    )
+            else:
+                waves = np.zeros(
+                    (0, self.cfg.segment_samples), np.float32
+                )
+        else:
+            def load_one(args):
+                path, frac = args
+                clip = self._load_full(path)
+                shift = int(round(float(frac) * clip.shape[0]))
+                return _crop_window(clip, self.cfg.segment_samples, shift)
+
+            loaded = list(pool.map(load_one, zip(paths, fracs)))
+            waves = (
+                np.stack(loaded) if loaded
+                else np.zeros((0, self.cfg.segment_samples), np.float32)
+            )
+
+        if self._local_rows is None:
             return waves, labels
-        fracs = self._shifts_for(len(paths), rng)
-
-        def load_one(args):
-            path, frac = args
-            clip = self._load_full(path)
-            shift = int(round(float(frac) * clip.shape[0]))
-            return _crop_window(clip, self.cfg.segment_samples, shift)
-
-        waves = np.stack(list(pool.map(load_one, zip(paths, fracs))))
-        return waves, labels
+        # Local-slice mode: zero-fill to this rank's padded slice length
+        # and report the batch's global real-row count for masking.
+        lo, hi, _ = self._local_rows
+        w_out = np.zeros((hi - lo, self.cfg.segment_samples), np.float32)
+        l_out = np.zeros(hi - lo, np.int32)
+        w_out[: waves.shape[0]] = waves
+        l_out[: waves.shape[0]] = labels[s_lo:s_hi]
+        return w_out, l_out, n_global
 
 
 def create_data_loaders(

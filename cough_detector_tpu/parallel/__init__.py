@@ -2,6 +2,8 @@
 
 from .mesh import (
     batch_sharding,
+    corpus_sharding,
+    make_routed_gather,
     make_mesh,
     maybe_initialize_distributed,
     pad_to_multiple,
@@ -14,6 +16,8 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "corpus_sharding",
+    "make_routed_gather",
     "make_mesh",
     "maybe_initialize_distributed",
     "pad_to_multiple",

@@ -71,6 +71,7 @@ import numpy as np
 
 from ..config import Config
 from ..stream.detector import StreamingDetector
+from ..utils.observability import LatencyTracker
 from . import protocol
 
 
@@ -370,8 +371,10 @@ class DetectionServer:
             "dropped_samples": 0, "connections": 0, "refused": 0,
             "tick_errors": 0,
         }
-        self._tick_times: deque = deque(maxlen=1024)  # bounded: long-lived
-        self._lag_times: deque = deque(maxlen=1024)  # dispatch → delivered
+        # Bounded latency trackers (utils/observability.py): tick cost on
+        # the timer thread, dispatch→delivered pipeline lag.
+        self._tick_times = LatencyTracker(maxlen=1024)
+        self._lag_times = LatencyTracker(maxlen=1024)
         self._stats_lock = threading.Lock()  # counters touched by N threads
         # Device ticks in flight: the timer thread DISPATCHES each tick
         # (device work chains through donated state, no host fetch) and
@@ -530,8 +533,8 @@ class DetectionServer:
                     "dispatched": self._dispatched,
                     "routed": self._routed,
                 }
-                ticks = np.asarray(self._tick_times)
-                lags = np.asarray(self._lag_times)
+                ticks = self._tick_times.snapshot()
+                lags = self._lag_times.snapshot()
             if ticks.size:
                 out["tick_ms_p50"] = round(
                     float(np.percentile(ticks, 50)) * 1e3, 3
@@ -559,8 +562,8 @@ class DetectionServer:
                 "dispatched": self._dispatched,
                 "routed": self._routed,
             }
-            ticks = np.asarray(self._tick_times)
-            lags = np.asarray(self._lag_times)
+            ticks = self._tick_times.snapshot()
+            lags = self._lag_times.snapshot()
         if ticks.size:
             out["tick_ms_p50"] = round(float(np.percentile(ticks, 50)) * 1e3, 3)
             out["tick_ms_p99"] = round(float(np.percentile(ticks, 99)) * 1e3, 3)
@@ -818,7 +821,7 @@ class DetectionServer:
         t0 = time.perf_counter()
         events = self._detector.tick_async(buf)
         with self._stats_lock:
-            self._tick_times.append(time.perf_counter() - t0)
+            self._tick_times.record(time.perf_counter() - t0)
         serial = self._dispatched
         self._dispatched += 1
         live = dict(self._slot_meta)  # snapshot: retiming is tick-local
@@ -891,7 +894,7 @@ class DetectionServer:
         t0 = time.perf_counter()
         events = self._detector.tick_async(chunk)
         with self._stats_lock:
-            self._tick_times.append(time.perf_counter() - t0)
+            self._tick_times.record(time.perf_counter() - t0)
         serial = self._dispatched
         self._dispatched += 1
         while not self._stop.is_set():
@@ -950,7 +953,7 @@ class DetectionServer:
                 self._bump("tick_errors")
                 print(f"serve: tick {next_serial} delivery failed: {err!r}")
             with self._stats_lock:
-                self._lag_times.append(time.perf_counter() - t_dispatch)
+                self._lag_times.record(time.perf_counter() - t_dispatch)
                 self._stats["ticks"] += 1
             next_serial += 1
 

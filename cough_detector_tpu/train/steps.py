@@ -236,6 +236,14 @@ def make_eval_step(feature_fn: Optional[Callable] = None):
 # unchanged — tested equal in tests/test_shards.py.
 
 
+def _default_gather(corpus: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batch-row gather for a REPLICATED device corpus. A row-sharded
+    corpus (parallel.corpus_sharding) must use the routed collective
+    gather instead (parallel.make_routed_gather) — a plain take would
+    make XLA all_gather the whole corpus every step."""
+    return jnp.take(corpus, idx, axis=0)
+
+
 def train_epoch_scan(
     state: TrainState,
     corpus: jnp.ndarray,
@@ -245,20 +253,23 @@ def train_epoch_scan(
     rng: jax.Array,
     class_weights: jnp.ndarray,
     feature_fn: Callable,
+    gather_fn: Callable = _default_gather,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One full training epoch as a single scanned program.
 
     corpus: (N, segment) int16 (or f32) device-resident waveforms;
     idx_mat/labels_mat/mask_mat: (steps, B) per-step batch definitions.
-    feature_fn receives (waves, key) like the per-batch path. Returns the
-    final state and per-step metric arrays of shape (steps,).
+    feature_fn receives (waves, key) like the per-batch path; gather_fn
+    maps (corpus, idx) -> batch rows (the routed collective gather when
+    the corpus is row-sharded over a mesh). Returns the final state and
+    per-step metric arrays of shape (steps,).
     """
 
     def body(carry, xs):
         st, key = carry
         idx, labels, mask = xs
         key, aug_key, dropout_key = jax.random.split(key, 3)
-        waves = jnp.take(corpus, idx, axis=0)
+        waves = gather_fn(corpus, idx)
         st, m = train_step(
             st, (waves, aug_key), labels, dropout_key, class_weights,
             feature_fn=feature_fn, mask=mask,
@@ -279,12 +290,13 @@ def eval_epoch_scan(
     mask_mat: jnp.ndarray,
     class_weights: jnp.ndarray,
     feature_fn: Callable,
+    gather_fn: Callable = _default_gather,
 ) -> Dict[str, jnp.ndarray]:
     """Full validation pass as one scanned program (metrics per step)."""
 
     def body(carry, xs):
         idx, labels, mask = xs
-        waves = jnp.take(corpus, idx, axis=0)
+        waves = gather_fn(corpus, idx)
         m = eval_step(
             state, waves, labels, class_weights,
             feature_fn=feature_fn, mask=mask,
@@ -311,6 +323,7 @@ def train_and_eval_epoch_scan(
     class_weights: jnp.ndarray,
     train_feature_fn: Callable,
     eval_feature_fn: Callable,
+    gather_fn: Callable = _default_gather,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One epoch's train scan + validation pass FUSED into a single XLA
     program: over a dev tunnel whose per-dispatch round trip exceeds a
@@ -322,17 +335,19 @@ def train_and_eval_epoch_scan(
     unfused programs, so loss trajectories stay bit-identical."""
     state, train_ms = train_epoch_scan(
         state, train_corpus, idx_mat, labels_mat, mask_mat, rng,
-        class_weights, feature_fn=train_feature_fn,
+        class_weights, feature_fn=train_feature_fn, gather_fn=gather_fn,
     )
     val_ms = eval_epoch_scan(
         state, val_corpus, val_idx, val_labels, val_mask, class_weights,
-        feature_fn=eval_feature_fn,
+        feature_fn=eval_feature_fn, gather_fn=gather_fn,
     )
     return state, train_ms, val_ms
 
 
 def make_fused_epoch_fn(
-    train_feature_fn: Callable, eval_feature_fn: Callable
+    train_feature_fn: Callable,
+    eval_feature_fn: Callable,
+    gather_fn: Callable = _default_gather,
 ) -> Callable:
     # No state donation: the train loop PIPELINES epochs (dispatch e+1
     # before fetching e's results), so epoch e's output state must stay
@@ -343,5 +358,6 @@ def make_fused_epoch_fn(
             train_and_eval_epoch_scan,
             train_feature_fn=train_feature_fn,
             eval_feature_fn=eval_feature_fn,
+            gather_fn=gather_fn,
         )
     )

@@ -4,6 +4,18 @@ and jax.profiler trace annotation helpers.
 The reference's only observability is tqdm bars and prints
 (reference: src/train.py:82-106, SURVEY.md §5); here step-time,
 clips/sec/chip and detection-latency percentiles are first-class.
+
+Production wiring (every symbol here has a real call site):
+  * `JsonlLogger` — the train loop's per-epoch metrics.jsonl
+    (train/loop.py) and the featurize CLI's summary line.
+  * `LatencyTracker` — the serving daemon's tick-cost and delivery-lag
+    percentiles (serve/server.py; bounded, like every other serve-side
+    buffer).
+  * `Throughput` — the featurize CLI's steady-state clips/s (warmup
+    batch — the XLA compile — discarded).
+  * `trace_span` / `capture_trace` — `bench.py --trace DIR` wraps the
+    headline measurement in a device trace with per-phase annotations;
+    the resulting profile is summarized in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -11,8 +23,9 @@ from __future__ import annotations
 import contextlib
 import json
 import time
+from collections import deque
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Deque, Dict, Optional
 
 import numpy as np
 
@@ -62,23 +75,35 @@ class Throughput:
 
 
 class LatencyTracker:
-    """p50/p90/p99 over recorded latencies (seconds)."""
+    """p50/p90/p99 over recorded latencies (seconds).
 
-    def __init__(self):
-        self._samples: List[float] = []
+    Bounded by construction: only the most recent `maxlen` samples are
+    kept (a long-lived server must not grow a sample list without bound
+    — the same discipline as every other serve-side buffer). Writers
+    call `record`; readers in another thread must take `snapshot()`
+    under whatever lock excludes writers and compute percentiles on the
+    snapshot (iterating a deque during a concurrent append is a
+    RuntimeError)."""
+
+    def __init__(self, maxlen: Optional[int] = 4096):
+        self._samples: Deque[float] = deque(maxlen=maxlen)
 
     def record(self, seconds: float) -> None:
         self._samples.append(seconds)
 
+    def snapshot(self) -> np.ndarray:
+        """The retained samples as an array (copy, safe to reduce)."""
+        return np.asarray(self._samples, dtype=np.float64)
+
     def percentiles(self) -> Dict[str, float]:
-        if not self._samples:
+        arr = self.snapshot()
+        if not arr.size:
             return {"p50": 0.0, "p90": 0.0, "p99": 0.0, "n": 0}
-        arr = np.asarray(self._samples)
         return {
             "p50": float(np.percentile(arr, 50)),
             "p90": float(np.percentile(arr, 90)),
             "p99": float(np.percentile(arr, 99)),
-            "n": len(arr),
+            "n": int(arr.size),
         }
 
 

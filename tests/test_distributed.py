@@ -96,13 +96,18 @@ class TestRealTwoProcessCluster:
         # float noise and nothing more.
         np.testing.assert_allclose(child_losses[0], want, rtol=1e-5)
 
-    def test_full_train_loop_across_processes(self, tmp_path):
+    def test_full_train_loop_across_processes(self, tmp_path, capsys):
         """The production train() itself — dataset split, deterministic
         loaders, DP batches, checkpoints — runs across a REAL 2-process
-        cluster and reproduces the single-process 8-device metrics. The
-        loaders are pure functions of (seed, epoch), so every process
-        builds the identical global batch; rank 0 alone writes metrics
-        and checkpoints."""
+        cluster and reproduces the single-process 8-device metrics.
+
+        Input sharding (r3 VERDICT #3): each rank builds ONLY the batch
+        rows its devices hold (loader process slices assembled via
+        jax.make_array_from_process_local_data), so the probe below must
+        show the ranks' input-row counts SUMMING to the single-process
+        total — per-host input work is 1/N — while metrics.jsonl still
+        matches the single-process run epoch for epoch. Rank 0 alone
+        writes metrics and checkpoints."""
         import json
 
         from cough_detector_tpu.config import (
@@ -130,6 +135,7 @@ class TestRealTwoProcessCluster:
         )
         out_single = tmp_path / "single"
         train(str(data), str(out_single), config=cfg, num_workers=2)
+        single_stdout = capsys.readouterr().out
 
         # 2-process cluster run of the SAME training.
         out_dist = tmp_path / "dist"
@@ -149,6 +155,7 @@ class TestRealTwoProcessCluster:
                 env=env, cwd=_REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             ))
+        child_stdouts = []
         for p in procs:
             try:
                 outp, err = p.communicate(timeout=420)
@@ -158,6 +165,28 @@ class TestRealTwoProcessCluster:
                 pytest.fail("train cluster child timed out")
             assert p.returncode == 0, f"child failed:\n{outp}\n{err}"
             assert "TRAIN_DONE" in outp
+            child_stdouts.append(outp)
+
+        # Input-sharding probe: each rank built only its share of the
+        # rows; together they did exactly the single-process total.
+        import re
+
+        def rows_built(text):
+            m = re.search(
+                r"Input rows built \(rank \d+\): train (\d+), val (\d+)",
+                text,
+            )
+            assert m, f"no input-rows line in:\n{text}"
+            return int(m.group(1)), int(m.group(2))
+
+        s_train, s_val = rows_built(single_stdout)
+        d_rows = [rows_built(o) for o in child_stdouts]
+        assert s_train > 0 and s_val > 0
+        assert d_rows[0][0] + d_rows[1][0] == s_train
+        # Train batches are full (drop_last) → the split is exactly half.
+        assert d_rows[0][0] == d_rows[1][0] == s_train // 2
+        assert d_rows[0][1] + d_rows[1][1] == s_val
+        assert max(d_rows[0][1], d_rows[1][1]) < s_val  # genuinely split
 
         # Rank 0 alone wrote metrics + checkpoints.
         recs_s = [json.loads(l) for l in
@@ -166,7 +195,7 @@ class TestRealTwoProcessCluster:
                   (out_dist / "metrics.jsonl").read_text().splitlines()]
         assert (out_dist / "latest_model" / "meta.json").exists()
         assert len(recs_s) == len(recs_d) == 2
-        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s"}
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
         for rs, rd in zip(recs_s, recs_d):
             for k, vs in rs.items():
                 if k in skip:

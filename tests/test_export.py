@@ -70,6 +70,16 @@ class TestObservability:
         p = lt.percentiles()
         assert p["n"] == 5 and p["p50"] == 0.3 and p["p99"] > 0.9
 
+    def test_latency_tracker_is_bounded(self):
+        """A long-lived server records forever; the tracker must keep a
+        bounded window, not an unbounded list (r3 ADVICE/VERDICT: the
+        serve module's bounded-everything discipline)."""
+        lt = LatencyTracker(maxlen=16)
+        for v in range(1000):
+            lt.record(float(v))
+        assert lt.percentiles()["n"] == 16
+        assert lt.snapshot().min() == 984.0  # oldest evicted first
+
 
 class TestBNFold:
     import pytest as _pytest
