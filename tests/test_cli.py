@@ -231,6 +231,9 @@ class TestEvaluate:
         ])
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "fp_per_min_silence" in rec and "cough_detection_rate" in rec
+        # r3 VERDICT #5: the cough-confusable scenario (laughs + throat
+        # clears) is part of the protocol now.
+        assert "fp_per_min_confusables" in rec
 
     def test_calibrate_mode(self, shared_ckpt_dir, capsys):
         """--calibrate sweeps thresholds over the behavioral scenarios.
@@ -251,8 +254,11 @@ class TestEvaluate:
         for row in rec["sweep"]:
             assert set(row) >= {
                 "threshold", "fp_per_min_silence", "fp_per_min_speech",
-                "cough_detection_rate", "passes",
+                "fp_per_min_confusables", "cough_detection_rate",
+                "passes", "passes_strict",
             }
+            # Strict (confusable-rejecting) passing implies plain passing.
+            assert not row["passes_strict"] or row["passes"]
         # Full monotonicity is NOT guaranteed by the threshold+debounce
         # rule — raising the threshold can skip an early fire and realign
         # the debounce grid so MORE later peaks become eligible. What IS

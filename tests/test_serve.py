@@ -1893,12 +1893,23 @@ class TestDaemonOverMesh:
                 assert _wait(
                     lambda: srv.stats()["ticks"] >= 2 * n_chunks
                 )
-                # events() drains ALL of a client's slots at once;
-                # group by stream id.
+                # events() drains ALL of a client's slots at once; group
+                # by stream id. Drain until the stream SETTLES (an empty
+                # 1 s read): ticks "delivered" means events reached the
+                # server-side outboxes, but the writer and client reader
+                # threads may still be moving them under host load — a
+                # single drain under-reads and the two scenario runs
+                # under-read DIFFERENTLY, flaking the parity assert.
                 for sid in opened:
                     events[sid] = []
                 for client, timeout in ((ca, 5.0), (cb, 2.0)):
-                    for e in client.events(timeout=timeout):
+                    got = client.events(timeout=timeout)
+                    while True:
+                        more = client.events(timeout=1.0)
+                        if not more:
+                            break
+                        got.extend(more)
+                    for e in got:
                         events[e["stream"]].append(
                             (e["stream"], e["time"], e["confidence"])
                         )
