@@ -705,11 +705,14 @@ def train(
         metrics_log.close()
     # Host input-work accounting: under multi-host input sharding the
     # per-rank counts sum to the single-process total (the probe
-    # tests/test_distributed.py asserts on).
-    print(
-        f"Input rows built (rank {jax.process_index()}): "
-        f"train {train_loader.rows_built}, val {val_loader.rows_built}"
-    )
+    # tests/test_distributed.py asserts on). Epoch-scan mode never
+    # iterates the loaders (batches are device-side gathers from the
+    # resident corpus), so the counter would just read 0 — skip it.
+    if not use_epoch_scan:
+        print(
+            f"Input rows built (rank {jax.process_index()}): "
+            f"train {train_loader.rows_built}, val {val_loader.rows_built}"
+        )
     # The returned best_path must be fully committed: callers load it
     # immediately (CLI --export-pt, tests, serving).
     ckpt.drain_pending_saves()
