@@ -17,6 +17,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip-download", action="store_true")
     p.add_argument("--synthetic-coughs", type=int, default=50)
     p.add_argument("--synthetic-non-coughs", type=int, default=100)
+    p.add_argument("--hard-negatives", type=float, default=0.0,
+                   metavar="FRAC",
+                   help="Fraction of synthetic negatives drawn from the "
+                        "cough-confusable vocabulary (voiced speech, "
+                        "laughs, throat clears) instead of stationary "
+                        "noise — the hard-negative curation step "
+                        "(reference IMPROVEMENT_PLAN.md:81-85)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -51,8 +58,10 @@ def main(argv=None) -> None:
         n_coughs=args.synthetic_coughs,
         n_non_coughs=args.synthetic_non_coughs,
         seed=args.seed,
+        hard_negative_frac=args.hard_negatives,
     )
-    print(f"Synthetic: {n_c} coughs, {n_n} non-coughs")
+    print(f"Synthetic: {n_c} coughs, {n_n} non-coughs "
+          f"({args.hard_negatives:.0%} hard)")
 
     summary = acquire.dataset_summary(args.output_dir)
     print("=" * 50)

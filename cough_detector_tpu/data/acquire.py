@@ -108,9 +108,20 @@ def generate_synthetic_dataset(
     n_non_coughs: int = 100,
     sample_rate: int = 16000,
     seed: int = 0,
+    hard_negative_frac: float = 0.0,
 ) -> Tuple[int, int]:
     """Deterministic synthetic coughs + non-coughs
-    (reference: setup_data.py:95-164)."""
+    (reference: setup_data.py:95-164).
+
+    `hard_negative_frac` converts that fraction of the negative class
+    from stationary noise into cough-confusable hard negatives (voiced
+    speech / laughs / throat clears, `synth.synthetic_hard_negative`) —
+    the data-curation step the reference plans in
+    IMPROVEMENT_PLAN.md:81-85,142-144. 0.0 reproduces the reference's
+    setup_data.py menu exactly; the r4 BASELINE matrix measures ~0.3
+    closing the confusables FP gap the behavioral protocol exposes.
+    Determinism contract: file i's contents depend only on (seed, i,
+    and whether i falls in the hard tail), never on the other files."""
     out = Path(output_dir)
     cough_dir = out / "cough"
     non_cough_dir = out / "non_cough"
@@ -122,11 +133,17 @@ def generate_synthetic_dataset(
         audio_io.write_wav(
             cough_dir / f"synthetic_cough_{i:03d}.wav", wave, sample_rate
         )
+    n_hard = int(round(n_non_coughs * hard_negative_frac))
     for i in range(n_non_coughs):
-        wave = synth.synthetic_non_cough(seed + 1000 + i, 2.0, sample_rate)
-        audio_io.write_wav(
-            non_cough_dir / f"synthetic_other_{i:03d}.wav", wave, sample_rate
-        )
+        if i < n_non_coughs - n_hard:
+            wave = synth.synthetic_non_cough(seed + 1000 + i, 2.0,
+                                             sample_rate)
+            name = f"synthetic_other_{i:03d}.wav"
+        else:
+            wave = synth.synthetic_hard_negative(seed + 1000 + i, 2.0,
+                                                 sample_rate)
+            name = f"synthetic_hard_{i:03d}.wav"
+        audio_io.write_wav(non_cough_dir / name, wave, sample_rate)
     return n_coughs, n_non_coughs
 
 

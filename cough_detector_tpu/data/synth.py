@@ -172,7 +172,9 @@ def synthetic_speech(
             seg += 0.5 * _resonator(src, f2, rng.uniform(90, 180),
                                     sample_rate)
             if rng.uniform() < 0.3:  # plosive onset (p/t/k burst)
-                burst = int(0.015 * sample_rate)
+                # Like the envelope below, the burst must fit a
+                # tail-clipped syllable (seg_n can be as short as 65).
+                burst = min(int(0.015 * sample_rate), seg_n)
                 seg[:burst] += rng.standard_normal(burst) * np.linspace(
                     2.5, 0.0, burst
                 )
@@ -183,7 +185,10 @@ def synthetic_speech(
                 sample_rate,
             ) * 0.6
         env = np.ones(seg_n)
-        a = max(int(0.015 * sample_rate), 1)
+        # Attack/release windows must fit the (possibly tail-clipped)
+        # syllable: seg_n can be as short as 65 samples when the last
+        # syllable hits the end of the clip, while 15 ms is 240.
+        a = min(max(int(0.015 * sample_rate), 1), seg_n // 2)
         env[:a] = np.linspace(0, 1, a)
         env[-a:] *= np.linspace(1, 0.2, a)
         out[pos : pos + seg_n] += seg * env
@@ -254,6 +259,38 @@ def synthetic_throat_clear(
         pos += dur + int(rng.uniform(0.1, 0.3) * sample_rate)
     out = out / (np.abs(out).max() + 1e-8) * 0.55
     return out.astype(np.float32)
+
+
+# The cough-CONFUSABLE negative vocabulary (the structures the r4
+# behavioral protocol measures FP/min against). synthetic_hard_negative
+# draws its kind from this tuple with the seed's FIRST rng call — same
+# replayable-draw contract as NON_COUGH_KINDS.
+HARD_NEGATIVE_KINDS = ("speech", "laugh", "throat_clear")
+
+
+def synthetic_hard_negative(
+    seed: int,
+    duration_s: float = 2.0,
+    sample_rate: int = SAMPLE_RATE,
+) -> np.ndarray:
+    """Cough-confusable negative, kind chosen by seed: voiced speech, a
+    laugh burst train, or a throat clear. This is the training-side twin
+    of the r4 behavioral protocol's confusables scenario
+    (cli/evaluate.py) — mix a fraction of these into the negative class
+    (`acquire.generate_synthetic_dataset(hard_negative_frac=...)`) so
+    models are not blind to transient/voiced negatives. Implements the
+    reference's hard-negative data-curation step (IMPROVEMENT_PLAN.md:
+    81-85 marks foreground speech / throat clearing / laughing as the
+    missing critical+high negative classes; 142-144 plans their
+    collection) on the synthetic path."""
+    rng = np.random.default_rng([seed, 54])
+    kind = rng.choice(list(HARD_NEGATIVE_KINDS))
+    fn = {
+        "speech": synthetic_speech,
+        "laugh": synthetic_laugh,
+        "throat_clear": synthetic_throat_clear,
+    }[kind]
+    return fn(seed, duration_s, sample_rate)
 
 
 def sine_sweep(

@@ -33,6 +33,17 @@ class TestConfusableGenerators:
         assert np.isfinite(a).all() and 0.1 < np.abs(a).max() <= 1.0
         assert not np.array_equal(fn(7, 2.0), fn(8, 2.0))
 
+    def test_seed_sweep_tail_clipped_syllables(self):
+        """Regression: a syllable landing on the end of the clip can be
+        shorter (>64 samples) than the 15 ms attack/plosive windows; both
+        must clamp instead of crashing (found by the r4 on-chip
+        behavioral matrix — the envelope at one seed, the rarer
+        plosive-onset branch at another)."""
+        for dur, n in ((1.2, 19200), (2.0, 32000), (3.0, 48000)):
+            for seed in range(10_000, 10_200):
+                out = synth.synthetic_speech(seed, dur)
+                assert out.shape == (n,) and np.isfinite(out).all()
+
     def test_spectral_signatures(self):
         """Coarse spectral sanity: throat clears live in the low
         laryngeal band; voiced speech carries real harmonic structure
@@ -48,6 +59,53 @@ class TestConfusableGenerators:
         ac = np.correlate(speech, speech, mode="full")[speech.size - 1:]
         lo, hi = 16000 // 320, 16000 // 90  # pitch-period lag window
         assert ac[lo:hi].max() > 0.25 * ac[0]
+
+
+class TestHardNegativeCorpus:
+    """generate_synthetic_dataset(hard_negative_frac=...) — the
+    training-side twin of the behavioral confusables scenario
+    (reference IMPROVEMENT_PLAN.md:81-85,142-144)."""
+
+    def test_chooser_deterministic_and_covers_kinds(self):
+        a, b = (synth.synthetic_hard_negative(3, 2.0),
+                synth.synthetic_hard_negative(3, 2.0))
+        np.testing.assert_array_equal(a, b)
+        # The kind draw is replayable (same contract as NON_COUGH_KINDS)
+        # and all three kinds appear over a modest seed range.
+        kinds = {
+            str(np.random.default_rng([s, 54]).choice(
+                list(synth.HARD_NEGATIVE_KINDS)))
+            for s in range(40)
+        }
+        assert kinds == set(synth.HARD_NEGATIVE_KINDS)
+
+    def test_fraction_split_and_determinism(self, tmp_path):
+        from cough_detector_tpu.data import acquire
+
+        acquire.generate_synthetic_dataset(
+            str(tmp_path), n_coughs=2, n_non_coughs=10, seed=5,
+            hard_negative_frac=0.3,
+        )
+        neg = tmp_path / "non_cough"
+        hard = sorted(p.name for p in neg.glob("synthetic_hard_*.wav"))
+        other = sorted(p.name for p in neg.glob("synthetic_other_*.wav"))
+        assert len(hard) == 3 and len(other) == 7
+        # File i's contents depend only on (seed, i): the hard tail file
+        # is the chooser's output for that index, through 16-bit PCM.
+        back, sr = audio_io.read_wav(neg / "synthetic_hard_009.wav")
+        want = synth.synthetic_hard_negative(5 + 1000 + 9, 2.0)
+        assert sr == 16000
+        np.testing.assert_allclose(back[0], want, atol=2.0 / 32768)
+
+    def test_zero_frac_is_reference_exact(self, tmp_path):
+        from cough_detector_tpu.data import acquire
+
+        acquire.generate_synthetic_dataset(
+            str(tmp_path), n_coughs=1, n_non_coughs=4, seed=5,
+        )
+        neg = tmp_path / "non_cough"
+        assert not list(neg.glob("synthetic_hard_*.wav"))
+        assert len(list(neg.glob("synthetic_other_*.wav"))) == 4
 
 
 class TestWav:
