@@ -180,6 +180,18 @@ def _scenario_signals(seed: int, minutes: float):
     seconds = int(minutes * 60)
     rng = np.random.default_rng(seed)
 
+    def salted(k: int) -> int:
+        # Scenario clips must NEVER replay training waveforms: the
+        # training corpus draws the same generators at seeds
+        # (corpus_seed + i) for coughs and (corpus_seed + 1000 + i) for
+        # negatives, and the default workflow uses corpus_seed=0 AND
+        # --seed 0 here — without a salt the detection scenario would
+        # literally be training clips (memorization, not behavior).
+        # SeedSequence spreads (seed, salt, k) into a disjoint space.
+        return int(
+            np.random.SeedSequence([seed, 0xE7A1BE, k]).generate_state(1)[0]
+        )
+
     # Scenario 1: silence (target: 0 FP/min, IMPROVEMENT_PLAN.md:320)
     silence = (rng.standard_normal(seconds * sr) * 1e-4).astype(np.float32)
 
@@ -198,7 +210,7 @@ def _scenario_signals(seed: int, minutes: float):
             )[0][:dur]
             seg = (envelope[: len(band)] * band * 0.1).astype(np.float32)
         else:
-            seg = synth.synthetic_speech(seed + k, 3.0)
+            seg = synth.synthetic_speech(salted(k), 3.0)
         end = min(pos + len(seg), seconds * sr)
         speech[pos:end] += seg[: end - pos]
         pos = end + int(0.3 * sr)
@@ -209,7 +221,7 @@ def _scenario_signals(seed: int, minutes: float):
     coughs = (rng.standard_normal(seconds * sr) * 1e-3).astype(np.float32)
     starts = []
     for i in range(n_coughs):
-        c = synth.synthetic_cough(seed + i, 2.0)
+        c = synth.synthetic_cough(salted(1_000 + i), 2.0)
         start = i * 5 * sr
         coughs[start : start + len(c)] += c
         starts.append(start / sr)
@@ -224,7 +236,7 @@ def _scenario_signals(seed: int, minutes: float):
             synth.synthetic_laugh if k % 2 == 0
             else synth.synthetic_throat_clear
         )
-        seg = gen(seed + k, 2.0)
+        seg = gen(salted(2_000 + k), 2.0)
         confusables[pos : pos + len(seg)] += seg
         pos += len(seg) + 2 * sr
         k += 1

@@ -122,6 +122,11 @@ def generate_synthetic_dataset(
     closing the confusables FP gap the behavioral protocol exposes.
     Determinism contract: file i's contents depend only on (seed, i,
     and whether i falls in the hard tail), never on the other files."""
+    if not 0.0 <= hard_negative_frac <= 1.0:
+        raise ValueError(
+            f"hard_negative_frac must be a fraction in [0, 1], got "
+            f"{hard_negative_frac!r} (did you pass a percentage?)"
+        )
     out = Path(output_dir)
     cough_dir = out / "cough"
     non_cough_dir = out / "non_cough"

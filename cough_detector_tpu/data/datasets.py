@@ -250,6 +250,27 @@ class _EpochKeyedLoader:
             raise ValueError(f"bad process slice [{lo}, {hi}) of {pad_to}")
         self._local_rows = (int(lo), int(hi), int(pad_to))
 
+    def _slice_bounds(self, n_global: int) -> Tuple[int, int]:
+        """This rank's [s_lo, s_hi) clamped row range of an n_global
+        batch (the tail batch can be shorter than the padded slice)."""
+        lo, hi, _ = self._local_rows
+        return min(lo, n_global), min(hi, n_global)
+
+    def _pad_local(
+        self, waves: np.ndarray, labels: np.ndarray, n_global: int
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Zero-fill this rank's real rows to its padded slice length.
+        The (waves, labels, n_global) triple is the local-batch contract
+        set_process_slice documents (n_global drives the step mask) —
+        one implementation for the decode-fed and shard-fed loaders so
+        the multi-host slicing rule can never diverge between them."""
+        lo, hi, _ = self._local_rows
+        w_out = np.zeros((hi - lo, waves.shape[1]), waves.dtype)
+        l_out = np.zeros(hi - lo, np.int32)
+        w_out[: waves.shape[0]] = waves
+        l_out[: waves.shape[0]] = labels
+        return w_out, l_out, n_global
+
     def __len__(self) -> int:
         n = self._n_samples()
         if self.drop_last:
@@ -477,8 +498,7 @@ class BatchLoader(_EpochKeyedLoader):
 
         n_global = len(idxs)
         if self._local_rows is not None:
-            lo, hi, _ = self._local_rows
-            s_lo, s_hi = min(lo, n_global), min(hi, n_global)
+            s_lo, s_hi = self._slice_bounds(n_global)
             paths = paths[s_lo:s_hi]
             fracs = fracs[s_lo:s_hi]
 
@@ -518,12 +538,7 @@ class BatchLoader(_EpochKeyedLoader):
             return waves, labels
         # Local-slice mode: zero-fill to this rank's padded slice length
         # and report the batch's global real-row count for masking.
-        lo, hi, _ = self._local_rows
-        w_out = np.zeros((hi - lo, self.cfg.segment_samples), np.float32)
-        l_out = np.zeros(hi - lo, np.int32)
-        w_out[: waves.shape[0]] = waves
-        l_out[: waves.shape[0]] = labels[s_lo:s_hi]
-        return w_out, l_out, n_global
+        return self._pad_local(waves, labels[s_lo:s_hi], n_global)
 
 
 def create_data_loaders(

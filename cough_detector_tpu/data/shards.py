@@ -240,16 +240,11 @@ class ShardLoader(_EpochKeyedLoader):
             return self._gather(idxs)
         # Multi-host local slicing (set_process_slice): gather only this
         # rank's rows of the padded batch; see _EpochKeyedLoader.
-        lo, hi, _ = self._local_rows
         n_global = len(idxs)
-        s_lo, s_hi = min(lo, n_global), min(hi, n_global)
+        s_lo, s_hi = self._slice_bounds(n_global)
         waves, labels = self._gather(idxs[s_lo:s_hi])
         self.rows_built += s_hi - s_lo
-        w_out = np.zeros((hi - lo, self.segment_samples), np.int16)
-        l_out = np.zeros(hi - lo, np.int32)
-        w_out[: waves.shape[0]] = waves
-        l_out[: waves.shape[0]] = labels
-        return w_out, l_out, n_global
+        return self._pad_local(waves, labels, n_global)
 
     @property
     def n_clips(self) -> int:

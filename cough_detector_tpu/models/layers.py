@@ -112,7 +112,8 @@ class BatchNorm(nn.Module):
                 # Guard the fully-padded batch (sum(mask)=0): without it
                 # the 0/0 mean/var would silently poison running stats
                 # with NaN. Callers normally guarantee >=1 real row; a
-                # degenerate batch now contributes mean=0/var=0 instead.
+                # degenerate batch computes mean=0/var=0 locally and its
+                # running-stats update is gated to a no-op below.
                 n_safe = jnp.maximum(n, 1.0)
                 mean = jnp.sum(xf * mb, axis=reduce_axes) / n_safe
                 var = (
@@ -121,12 +122,21 @@ class BatchNorm(nn.Module):
                 )
             if not self.is_initializing():
                 unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
-                ra_mean.value = (
+                new_mean = (
                     (1 - self.momentum) * ra_mean.value + self.momentum * mean
                 )
-                ra_var.value = (
+                new_var = (
                     (1 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
+                if mask is not None:
+                    # A fully-padded batch must be a true no-op on the
+                    # running stats (not a decay toward mean=0/var=0) —
+                    # the padded-step trajectory-invariance contract.
+                    live = n > 0.0
+                    new_mean = jnp.where(live, new_mean, ra_mean.value)
+                    new_var = jnp.where(live, new_var, ra_var.value)
+                ra_mean.value = new_mean
+                ra_var.value = new_var
         else:
             mean, var = ra_mean.value, ra_var.value
 

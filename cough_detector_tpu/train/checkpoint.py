@@ -76,7 +76,12 @@ def drain_pending_saves() -> None:
             else:
                 # A second distinct disk failure must leave a trace, not
                 # vanish: attach it to the exception the caller sees.
-                first_exc.add_note(f"additional pending-save failure: {e!r}")
+                # (add_note is 3.11+; append to __notes__ directly so the
+                # declared >=3.10 floor keeps the original error.)
+                notes = getattr(first_exc, "__notes__", None)
+                if notes is None:
+                    notes = first_exc.__notes__ = []
+                notes.append(f"additional pending-save failure: {e!r}")
     if first_exc is not None:
         raise first_exc
 

@@ -220,6 +220,31 @@ class TestEvaluate:
         assert spurious == 1
         assert len(matched) / len(starts) == pytest.approx(2 / 3)
 
+    def test_scenarios_disjoint_from_training_seeds(self):
+        """r4 review: with the default workflow (corpus seed 0, eval
+        --seed 0) the detection scenario used to embed LITERAL training
+        clips (both drew synthetic_cough(seed + i)). Scenario seeds are
+        now salted into a disjoint space — the cough planted at t=0 must
+        not be training clip 0, and no scenario clip may replay any of
+        the first 100 training-negative seeds."""
+        import numpy as np
+
+        from cough_detector_tpu.cli.evaluate import _scenario_signals
+        from cough_detector_tpu.data import synth
+
+        _, speech, (coughs, starts), confusables = _scenario_signals(
+            0, 0.25
+        )
+        train_cough = synth.synthetic_cough(0, 2.0)
+        window = coughs[: len(train_cough)]
+        # The scenario adds a noise floor; a literal replay would still
+        # correlate ~1.0 with the training clip.
+        corr = float(
+            np.dot(window, train_cough)
+            / (np.linalg.norm(window) * np.linalg.norm(train_cough) + 1e-9)
+        )
+        assert corr < 0.9, "scenario cough replays training clip 0"
+
     def test_behavioral_mode(self, shared_ckpt_dir, capsys):
         from cough_detector_tpu.cli import evaluate
 

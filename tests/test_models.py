@@ -214,16 +214,25 @@ class TestTrainSemantics:
         want = (x64 - mean64) / np.sqrt(var64 + 1e-5)
         np.testing.assert_allclose(out, want, atol=0.05)
 
-    def test_batchnorm_all_padded_mask_stays_finite(self):
-        """A fully-padded batch (mask all zero) must not divide by n=0:
-        the guarded denominator yields mean=0/var=0 instead of NaN, so a
-        degenerate step can never silently poison the running stats
-        (ADVICE r3; layers.py n_safe guard)."""
+    def test_batchnorm_all_padded_mask_is_noop(self):
+        """A fully-padded batch (mask all zero) must not divide by n=0
+        (ADVICE r3; layers.py n_safe guard) — and must leave the running
+        stats EXACTLY unchanged rather than decaying them toward
+        mean=0/var=0 (r4 review: the padded-step trajectory-invariance
+        contract extends to the degenerate batch)."""
         from cough_detector_tpu.models.layers import BatchNorm
 
         bn = BatchNorm()
         x = jnp.ones((4, 8, 8, 2), jnp.float32)
         variables = bn.init(jax.random.PRNGKey(0), x, train=True)
+        # Give the running stats non-initial values so a decay would show.
+        variables = {
+            "params": variables["params"],
+            "batch_stats": {
+                "mean": jnp.array([0.7, -0.3], jnp.float32),
+                "var": jnp.array([2.5, 0.4], jnp.float32),
+            },
+        }
         out, mutated = bn.apply(
             variables,
             x,
@@ -232,8 +241,14 @@ class TestTrainSemantics:
             mutable=["batch_stats"],
         )
         assert np.isfinite(np.asarray(out)).all()
-        for leaf in jax.tree_util.tree_leaves(mutated):
-            assert np.isfinite(np.asarray(leaf)).all()
+        np.testing.assert_array_equal(
+            np.asarray(mutated["batch_stats"]["mean"]),
+            np.array([0.7, -0.3], np.float32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mutated["batch_stats"]["var"]),
+            np.array([2.5, 0.4], np.float32),
+        )
 
     def test_dropout_deterministic_in_eval(self):
         model, variables = _init("standard")
