@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import queue
 import socket
+import sys
 import threading
 import time
 from collections import deque
@@ -160,25 +161,30 @@ class _Slot:
 
     def push(self, samples: np.ndarray, cap: int) -> int:
         """Queue samples; returns how many OLD samples were dropped.
-        The cap binds even for a SINGLE over-cap frame (a 16 MiB AUDIO
-        frame is 262 s of audio): keep the newest `cap` samples and
-        count the rest dropped — the same newest-wins rule as the C++
-        plane's ring (cdt_ingest.cpp), so both backends give identical
-        detections and stats for identical wire bytes."""
+        Overflow drops EXACTLY (buffered - cap) samples from the oldest
+        end, trimming partial frames — the same newest-wins arithmetic
+        as the C++ plane's ring (cdt_ingest.cpp advances `rd` by the
+        exact overflow), so both backends retain identical audio and
+        report identical dropped_samples for identical wire bytes.
+        (An earlier version popped whole frames, retaining up to a
+        frame less than the C++ ring — r4 review.) The cap binds even
+        for a SINGLE over-cap frame (a 16 MiB AUDIO frame is 262 s of
+        audio): the newest `cap` samples are kept."""
         dropped = 0
         with self.lock:
             self.buffer.append(samples)
             self.buffered += samples.size
-            while self.buffered > cap and len(self.buffer) > 1:
-                old = self.buffer.popleft()
-                self.buffered -= old.size
-                dropped += old.size
-            if self.buffered > cap:  # one frame alone exceeds the cap
+            need = self.buffered - cap
+            while need > 0:
                 head = self.buffer[0]
-                trim = self.buffered - cap
-                self.buffer[0] = head[trim:]
-                self.buffered -= trim
-                dropped += trim
+                take = min(need, head.size)
+                if take == head.size:
+                    self.buffer.popleft()
+                else:
+                    self.buffer[0] = head[take:]
+                self.buffered -= take
+                dropped += take
+                need -= take
         return dropped
 
     def pull(self, n: int) -> np.ndarray:
@@ -369,8 +375,11 @@ class DetectionServer:
         self._stats = {
             "ticks": 0, "events": 0, "events_dropped": 0,
             "dropped_samples": 0, "connections": 0, "refused": 0,
-            "tick_errors": 0,
+            "tick_errors": 0, "tick_dispatch_errors": 0,
         }
+        # Last tick-thread dispatch failure (repr), surfaced in stats():
+        # the tick loop contains exceptions instead of dying silently.
+        self._last_tick_error: Optional[str] = None
         # Bounded latency trackers (utils/observability.py): tick cost on
         # the timer thread, dispatch→delivered pipeline lag.
         self._tick_times = LatencyTracker(maxlen=1024)
@@ -535,35 +544,26 @@ class DetectionServer:
                 }
                 ticks = self._tick_times.snapshot()
                 lags = self._lag_times.snapshot()
-            if ticks.size:
-                out["tick_ms_p50"] = round(
-                    float(np.percentile(ticks, 50)) * 1e3, 3
-                )
-                out["tick_ms_p99"] = round(
-                    float(np.percentile(ticks, 99)) * 1e3, 3
-                )
-            if lags.size:
-                out["delivery_lag_ms_p50"] = round(
-                    float(np.percentile(lags, 50)) * 1e3, 3
-                )
-                out["delivery_lag_ms_p99"] = round(
-                    float(np.percentile(lags, 99)) * 1e3, 3
-                )
-            return out
-        with self._reg_lock:
-            open_slots = len(self._slots)
-        with self._stats_lock:
-            out = {
-                **self._stats,
-                "open_streams": open_slots,
-                # Dispatch-side tick clock (single-writer: tick thread);
-                # dispatched minus routed is the live pipeline depth,
-                # bounded by _max_ahead.
-                "dispatched": self._dispatched,
-                "routed": self._routed,
-            }
-            ticks = self._tick_times.snapshot()
-            lags = self._lag_times.snapshot()
+        else:
+            with self._reg_lock:
+                open_slots = len(self._slots)
+            with self._stats_lock:
+                out = {
+                    **self._stats,
+                    "backend": "python",
+                    "open_streams": open_slots,
+                    # Dispatch-side tick clock (single-writer: tick
+                    # thread); dispatched minus routed is the live
+                    # pipeline depth, bounded by _max_ahead.
+                    "dispatched": self._dispatched,
+                    "routed": self._routed,
+                }
+                ticks = self._tick_times.snapshot()
+                lags = self._lag_times.snapshot()
+        if self._last_tick_error is not None:
+            out["last_tick_error"] = self._last_tick_error
+        # One percentile-formatting tail for both backends: the stats
+        # schema must never drift between them.
         if ticks.size:
             out["tick_ms_p50"] = round(float(np.percentile(ticks, 50)) * 1e3, 3)
             out["tick_ms_p99"] = round(float(np.percentile(ticks, 99)) * 1e3, 3)
@@ -818,19 +818,8 @@ class DetectionServer:
             )
         buf = self._assemble_bufs[self._dispatched % len(self._assemble_bufs)]
         self._ingest.assemble(buf)
-        t0 = time.perf_counter()
-        events = self._detector.tick_async(buf)
-        with self._stats_lock:
-            self._tick_times.record(time.perf_counter() - t0)
-        serial = self._dispatched
-        self._dispatched += 1
-        live = dict(self._slot_meta)  # snapshot: retiming is tick-local
-        while not self._stop.is_set():
-            try:
-                self._inflight.put((serial, live, events, t0), timeout=0.5)
-                return
-            except queue.Full:
-                continue
+        # snapshot: retiming is tick-local (only this thread mutates it)
+        self._dispatch_tick(buf, dict(self._slot_meta))
 
     def _wait_dispatch_slot(self) -> bool:
         """Block until dispatch is fewer than _max_ahead ticks ahead of
@@ -846,16 +835,52 @@ class DetectionServer:
                 self._fetched_cond.wait(timeout=0.2)
         return not self._stop.is_set()
 
+    def _dispatch_tick(self, batch, live) -> None:
+        """The shared dispatch tail of both backends: time the async
+        dispatch, claim the next serial, and hand the on-device events
+        to the fetch pool."""
+        t0 = time.perf_counter()
+        events = self._detector.tick_async(batch)
+        with self._stats_lock:
+            self._tick_times.record(time.perf_counter() - t0)
+        serial = self._dispatched
+        self._dispatched += 1
+        while not self._stop.is_set():
+            try:
+                self._inflight.put((serial, live, events, t0), timeout=0.5)
+                return
+            except queue.Full:
+                continue  # delivery chronically behind: the timer loop
+                # stalls here and the missed cadence is visible in stats
+                # rather than memory growing without bound.
+
     def _tick_once(self) -> None:
         """Assemble + DISPATCH one device tick; never fetches. Event
         fetch/routing happens on the delivery thread one tick behind
         (see _inflight in __init__), so the real-time cadence of this
-        loop is independent of host↔device round-trip latency."""
+        loop is independent of host↔device round-trip latency.
+
+        Exceptions are CONTAINED: the tick thread is the daemon's
+        heartbeat, and a transient device/tunnel failure must not kill
+        it silently while the accept loop keeps admitting clients — the
+        error is counted (tick_dispatch_errors), surfaced in stats()
+        (last_tick_error) and logged to stderr, and the loop keeps
+        trying. The serial is only claimed after a successful dispatch,
+        so a failed tick never wedges the in-order router."""
         if not self._wait_dispatch_slot():
             return
-        if self._ingest is not None:
-            self._tick_once_native()
-            return
+        try:
+            if self._ingest is not None:
+                self._tick_once_native()
+            else:
+                self._tick_once_python()
+        except Exception as err:
+            with self._stats_lock:
+                self._stats["tick_dispatch_errors"] += 1
+                self._last_tick_error = repr(err)
+            print(f"serve: tick dispatch failed: {err!r}", file=sys.stderr)
+
+    def _tick_once_python(self) -> None:
         chunk = np.zeros((self.num_streams, self.chunk_size), np.float32)
         with self._reg_lock:
             live = dict(self._slots)
@@ -891,20 +916,7 @@ class DetectionServer:
             chunk = quantize_i16(chunk)
         elif self._h2d is np.uint8:
             chunk = quantize_mulaw(chunk)
-        t0 = time.perf_counter()
-        events = self._detector.tick_async(chunk)
-        with self._stats_lock:
-            self._tick_times.record(time.perf_counter() - t0)
-        serial = self._dispatched
-        self._dispatched += 1
-        while not self._stop.is_set():
-            try:
-                self._inflight.put((serial, live, events, t0), timeout=0.5)
-                return
-            except queue.Full:
-                continue  # delivery chronically behind: the timer loop
-                # stalls here and the missed cadence is visible in stats
-                # rather than memory growing without bound.
+        self._dispatch_tick(chunk, live)
 
     def _fetch_loop(self) -> None:
         """Pull one tick's events off the device (blocking round trip) —
@@ -922,7 +934,12 @@ class DetectionServer:
             except Exception as err:  # transient device/transfer failure
                 detections = []
                 self._bump("tick_errors")
-                print(f"serve: tick {serial} event fetch failed: {err!r}")
+                # stderr: the daemon's stdout is a machine-readable
+                # JSON-lines stream (cli/serve.py supervisor contract).
+                print(
+                    f"serve: tick {serial} event fetch failed: {err!r}",
+                    file=sys.stderr,
+                )
             with self._fetched_cond:
                 self._fetched[serial] = (live, detections, t0)
                 self._fetched_cond.notify_all()
@@ -951,7 +968,10 @@ class DetectionServer:
                 self._deliver(live, detections)
             except Exception as err:  # never wedge in-order delivery
                 self._bump("tick_errors")
-                print(f"serve: tick {next_serial} delivery failed: {err!r}")
+                print(
+                    f"serve: tick {next_serial} delivery failed: {err!r}",
+                    file=sys.stderr,
+                )
             with self._stats_lock:
                 self._lag_times.record(time.perf_counter() - t_dispatch)
                 self._stats["ticks"] += 1

@@ -420,4 +420,10 @@ class CoughDetectorInference:
         return timestamp, detections[0].confidence
 
     def reset(self) -> None:
+        """Clear audio/history/debounce state. A live-mutated
+        confidence_threshold SURVIVES reset, like the reference's (its
+        reset() never touches the attribute, which is read at event
+        time — src/inference.py:70,229); engine.reset() re-inits the
+        lane threshold from the constructor config, so re-apply ours."""
         self._engine.reset()
+        self._engine.set_thresholds([0], [self._confidence_threshold])

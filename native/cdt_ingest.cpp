@@ -826,10 +826,28 @@ void cdt_ingest_send_events(void* h, int n, const int* slots,
         }
         owner = sl.owner;
       }
+      // Locale-independent "%.6f": snprintf's decimal separator follows
+      // LC_NUMERIC (an embedding host process may setlocale()), which
+      // would emit "0,500000" — invalid JSON the Python twin
+      // (protocol.encode_event via json.dumps) never produces. Format
+      // sign + integer micros manually. Values here are stream times
+      // (seconds) and confidences, far inside llround's range.
+      auto fmt_f6 = [](char* dst, size_t cap, double v) -> int {
+        long long micro = (long long)llround(v * 1e6);
+        unsigned long long m =
+            micro < 0 ? (unsigned long long)(-micro)
+                      : (unsigned long long)micro;
+        return std::snprintf(dst, cap, "%s%llu.%06llu",
+                             micro < 0 ? "-" : "", m / 1000000ULL,
+                             m % 1000000ULL);
+      };
+      char tbuf[32], cbuf[32];
+      fmt_f6(tbuf, sizeof(tbuf), times[i]);
+      fmt_f6(cbuf, sizeof(cbuf), (double)confs[i]);
       char body[96];
       int blen = std::snprintf(body, sizeof(body),
-                               "{\"time\": %.6f, \"confidence\": %.6f}",
-                               times[i], (double)confs[i]);
+                               "{\"time\": %s, \"confidence\": %s}",
+                               tbuf, cbuf);
       bool dropped;
       send_frame(s, owner, EVENT, (uint32_t)sid, (const uint8_t*)body,
                  (uint32_t)blen, &dropped);

@@ -849,6 +849,29 @@ class TestServeHardening:
         assert slot.buffered == 4_000
         np.testing.assert_array_equal(slot.pull(4_000), big[6_000:])
 
+    def test_multiframe_overflow_drops_exact_count_like_cpp_ring(self):
+        """r4 review: overflow across MULTIPLE queued frames must drop
+        exactly (buffered - cap) oldest samples — the C++ ring advances
+        `rd` by the exact overflow (cdt_ingest.cpp), and an earlier
+        Python version popped whole frames instead, retaining different
+        audio and reporting different dropped_samples than the native
+        plane for identical wire bytes."""
+        from cough_detector_tpu.serve.server import _Slot
+
+        slot = _Slot(owner=None, open_sample=0)
+        stream = np.arange(490_000, dtype=np.float32)
+        cap = 480_000
+        dropped = 0
+        # ten 47k frames (470k) then one 20k frame -> 490k > cap
+        frames = [stream[i * 47_000 : (i + 1) * 47_000] for i in range(10)]
+        frames.append(stream[470_000:490_000])
+        for f in frames:
+            dropped += slot.push(f, cap=cap)
+        assert dropped == 10_000          # exact overflow, not a frame
+        assert slot.buffered == cap
+        # Retained audio is the newest `cap` samples, contiguous.
+        np.testing.assert_array_equal(slot.pull(cap), stream[10_000:])
+
     def test_stop_closes_live_connections(self, model_and_config):
         """server.stop() must FIN every connected client — a bare
         listener close leaves remote readers hung and leaks one fd plus

@@ -324,6 +324,32 @@ class TestReferenceAPIWrapper:
         ]
         assert any(hits3)
 
+    def test_live_threshold_survives_reset(self, tmp_path):
+        """r4 review: reset() clears audio/history state but must NOT
+        revert a live-mutated threshold — the reference's reset() never
+        touches the attribute (src/inference.py), while our engine
+        re-inits lane thresholds from the constructor config. The
+        wrapper re-applies the mutated value after reset."""
+        from cough_detector_tpu.stream import CoughDetectorInference
+        from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
+
+        variables, cfg = _trained_like_variables()
+        pt = tmp_path / "m.pt"
+        export_torch_checkpoint(str(pt), variables, cfg)
+        eng = CoughDetectorInference(
+            str(pt), confidence_threshold=0.0, smoothing_window=1,
+            debounce_seconds=0.0, verbose=False,
+        )
+        eng.confidence_threshold = 1.1  # nothing can clear 1.1
+        eng.reset()
+        assert eng.confidence_threshold == 1.1
+        w = synth.synthetic_cough(3, 2.0)
+        hits = [
+            eng.process_audio_chunk(w[i : i + 1600]) is not None
+            for i in range(0, 32000, 1600)
+        ]
+        assert not any(hits)  # engine lane still at 1.1, not ctor's 0.0
+
     def test_predict_feature_tensor(self, tmp_path):
         from cough_detector_tpu.stream import CoughDetectorInference
         from cough_detector_tpu.train.checkpoint import export_torch_checkpoint
