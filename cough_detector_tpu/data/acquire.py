@@ -48,15 +48,35 @@ COUGHVID_MERGE_NEGATIVES = [
 ]
 
 
+def _esc50_complete(esc50_dir: Path) -> bool:
+    """Cheap structural check that an ESC-50 tree is fully extracted:
+    the metadata CSV plus the full 2,000-clip audio directory."""
+    audio = esc50_dir / "audio"
+    return (
+        (esc50_dir / "meta" / "esc50.csv").exists()
+        and audio.is_dir()
+        and sum(1 for _ in audio.glob("*.wav")) >= 2000
+    )
+
+
 def download_esc50(target_dir: str) -> str:
     """Download + extract ESC-50 (idempotent)
-    (reference: src/dataset.py:333-365)."""
+    (reference: src/dataset.py:333-365).
+
+    An existing directory counts as downloaded only if it passes the
+    completeness check — an interrupted extraction (Ctrl-C / disk full)
+    must not be silently accepted as the corpus on the next run."""
     target = Path(target_dir)
     target.mkdir(parents=True, exist_ok=True)
     esc50_dir = target / "ESC-50-master"
     if esc50_dir.exists():
-        print("ESC-50 already downloaded")
-        return str(esc50_dir)
+        if _esc50_complete(esc50_dir):
+            print("ESC-50 already downloaded")
+            return str(esc50_dir)
+        print(
+            f"ESC-50 at {esc50_dir} is incomplete (interrupted extraction?) "
+            "— re-downloading"
+        )
     zip_path = target / "esc50.zip"
     print("Downloading ESC-50 dataset...")
     urllib.request.urlretrieve(ESC50_URL, zip_path)
@@ -64,6 +84,8 @@ def download_esc50(target_dir: str) -> str:
     with zipfile.ZipFile(zip_path, "r") as z:
         z.extractall(target)
     zip_path.unlink()
+    if not _esc50_complete(esc50_dir):
+        raise RuntimeError(f"ESC-50 extraction incomplete at {esc50_dir}")
     print(f"ESC-50 downloaded to {esc50_dir}")
     return str(esc50_dir)
 
@@ -158,10 +180,26 @@ def download_coughvid(target_dir: str) -> Optional[str]:
     on failure (caller decides fallback)."""
     target = Path(target_dir)
     target.mkdir(parents=True, exist_ok=True)
+    sentinel = target / ".cdt_extract_complete"
+
+    def _coughvid_complete(d: Path) -> bool:
+        # Fully extracted = the compiled-metadata CSV is present (the file
+        # selection reads it: prepare_coughvid below; reference
+        # setup_coughvid.py:118-127) — an interrupted extractall that died
+        # before the CSV must not count as downloaded.
+        return sentinel.exists() or any(d.glob("**/metadata_compiled.csv"))
+
     for candidate in ("public_dataset", "coughvid"):
-        if (target / candidate).exists():
-            print("COUGHVID already downloaded")
-            return str(target / candidate)
+        cdir = target / candidate
+        if cdir.exists():
+            if _coughvid_complete(cdir):
+                print("COUGHVID already downloaded")
+                return str(cdir)
+            print(
+                f"COUGHVID at {cdir} looks incomplete (interrupted "
+                "extraction?) — re-downloading"
+            )
+            break
     zip_path = target / "coughvid.zip"
     try:
         print("Downloading COUGHVID (~950 MB)...")
@@ -170,6 +208,7 @@ def download_coughvid(target_dir: str) -> Optional[str]:
         with zipfile.ZipFile(zip_path, "r") as z:
             z.extractall(target)
         zip_path.unlink()
+        sentinel.touch()
     except Exception as e:
         print(f"COUGHVID download failed: {e}")
         return None

@@ -54,6 +54,14 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         size = struct.unpack_from("<I", raw, pos + 4)[0]
+        if pos + 8 + size > len(raw):
+            # A chunk whose declared size overruns the file is a truncated
+            # download/write. Silently decoding the short payload would hand
+            # a partial clip downstream — fail LOUDLY instead (module rule).
+            raise AudioDecodeError(
+                f"Truncated WAV: chunk {cid!r} declares {size} bytes but only "
+                f"{len(raw) - pos - 8} remain: {path}"
+            )
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -92,7 +100,14 @@ def read_wav(path: PathLike) -> Tuple[np.ndarray, int]:
         else:
             raise AudioDecodeError(f"Unsupported PCM depth {bits}: {path}")
     elif audio_fmt == 3:  # IEEE float
-        dt = np.float32 if bits == 32 else np.float64
+        if bits == 32:
+            dt = np.float32
+        elif bits == 64:
+            dt = np.float64
+        else:
+            # fmt=3 with any other depth has no IEEE layout to reinterpret —
+            # decoding would produce garbage amplitudes, not audio.
+            raise AudioDecodeError(f"Unsupported float depth {bits}: {path}")
         x = raw_frombuffer(data, dt).astype(np.float32)
     else:
         raise AudioDecodeError(f"Unsupported WAV format {audio_fmt}: {path}")
@@ -107,13 +122,18 @@ def raw_frombuffer(data: bytes, dtype) -> np.ndarray:
 
 
 def write_wav(path: PathLike, wave: np.ndarray, sample_rate: int) -> None:
-    """Write float waveform ((S,) or (C, S)) as 16-bit PCM WAV."""
+    """Write float waveform ((S,) or (C, S)) as 16-bit PCM WAV.
+
+    Scale is 32768 (with +1.0 clipping to 32767) — the same convention as
+    read_wav, shards.INT16_SCALE and the serve quantizer twins — so a
+    decode → write_wav → decode round trip is bit-exact for every code.
+    (A 32767 scale perturbed all |k| >= 16385 by one LSB.)"""
     wave = np.asarray(wave, dtype=np.float32)
     if wave.ndim == 1:
         wave = wave[None, :]
     n_ch, n_samples = wave.shape
     pcm = (
-        np.clip(np.round(wave.T * 32767.0), -32768, 32767).astype("<i2").tobytes()
+        np.clip(np.round(wave.T * 32768.0), -32768, 32767).astype("<i2").tobytes()
     )
 
     byte_rate = sample_rate * n_ch * 2

@@ -200,10 +200,12 @@ _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 def model_from_config(model_config, precision_mode: str = "high") -> nn.Module:
     """Construct the classifier from a ModelConfig, honoring EVERY field
     it declares — num_classes, dropout (standard/residual; the small
-    model has no dropout layer, faithful to reference src/model.py:
-    143-207), and compute_dtype. `create_model(type)` alone silently
-    ignores them, which would let a checkpoint's config_full record a
-    configuration the weights were never trained under."""
+    model's dropout is HARDCODED at 0.3 exactly like the reference's
+    `nn.Dropout(0.3)`, so ModelConfig.dropout is deliberately ignored for
+    it — reference src/model.py:194), and compute_dtype.
+    `create_model(type)` alone silently ignores them, which would let a
+    checkpoint's config_full record a configuration the weights were
+    never trained under."""
     dtype = _DTYPES.get(model_config.compute_dtype)
     if dtype is None:
         raise ValueError(

@@ -43,19 +43,61 @@ def aot_compile(
 def export_serialized(
     compiled, path: str
 ) -> Optional[str]:
-    """Serialize a compiled executable (jax.export) for trace-free loading.
+    """Persist an AOT-compiled executable for trace-free loading
+    (`jax.experimental.serialize_executable`) — payload plus the in/out
+    pytree defs `deserialize_and_load` needs, in one pickle.
 
-    Returns the written path, or None when the backend doesn't support
-    serialization (the caller can always re-AOT-compile at startup).
+    Returns the written path, or None when the backend/executable doesn't
+    support serialization (the caller can always re-AOT-compile at
+    startup). Load with `load_serialized`.
     """
-    try:
-        from jax import export as jax_export  # noqa: F401
+    import pickle
 
-        serialized = compiled.serialize()  # type: ignore[attr-defined]
+    from jax.experimental import serialize_executable
+
+    try:
+        payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+        n_devices = len(compiled.runtime_executable().local_devices())
     except Exception:
-        return None
-    Path(path).write_bytes(serialized)
+        return None  # backend without executable serialization
+    Path(path).write_bytes(
+        pickle.dumps(
+            {
+                "payload": payload,
+                "in_tree": in_tree,
+                "out_tree": out_tree,
+                "n_devices": n_devices,
+            }
+        )
+    )
     return path
+
+
+def load_serialized(path: str, devices=None):
+    """Reload an `export_serialized` artifact as a callable compiled
+    executable (same jaxlib + compatible device topology required).
+
+    `devices` defaults to the first N of `jax.devices()`, N as recorded
+    at export — without this, deserialize_and_load spreads the program
+    over EVERY visible device and a single-device serving executable then
+    rejects its own unsharded inputs on multi-device hosts."""
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    blob = pickle.loads(Path(path).read_bytes())
+    if devices is None:
+        n = blob.get("n_devices", 1)
+        devices = jax.devices()[:n]
+        if len(devices) < n:
+            raise ValueError(
+                f"artifact was compiled for {n} devices; "
+                f"only {len(devices)} visible"
+            )
+    return serialize_executable.deserialize_and_load(
+        blob["payload"], blob["in_tree"], blob["out_tree"],
+        execution_devices=devices,
+    )
 
 
 def export_stablehlo(

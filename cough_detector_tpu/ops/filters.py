@@ -161,16 +161,3 @@ def four_step_dft_matrices(
     return m1c, m1s, twc, tws, m2c, m2s
 
 
-@functools.lru_cache(maxsize=16)
-def windowed_mel_dft(
-    n_fft: int,
-    win_length: int,
-    n_mels: int,
-    sample_rate: int,
-    f_min: float,
-    f_max: float,
-):
-    """(C, S, FB) bundle for the fused frame→mel GEMM pipeline (float32)."""
-    c, s = dft_matrices(n_fft, win_length)
-    fb = mel_filterbank(n_fft // 2 + 1, n_mels, sample_rate, f_min, f_max)
-    return c, s, fb

@@ -447,8 +447,13 @@ def process(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
 def extract_features_fast(waveform: jnp.ndarray, cfg: FeatureConfig) -> jnp.ndarray:
     """Fastest available front end: the fused Pallas kernel on TPU backends
     (5.2e-4 parity, ~3x the jnp chain on v5e), the jnp path elsewhere or for
-    configs with optional branches enabled."""
-    if jax.default_backend() != "cpu":
+    configs with optional branches enabled.
+
+    The gate is an exact backend match — the kernel lowers through Mosaic
+    with pltpu VMEM spaces, so routing any OTHER accelerator (gpu/rocm)
+    into it would crash at lowering instead of falling back. The axon
+    dev-tunnel backend reports "tpu" here (probed on hardware)."""
+    if jax.default_backend() == "tpu":
         from .pallas.frontend_kernel import extract_features_fused
 
         return extract_features_fused(waveform, cfg)

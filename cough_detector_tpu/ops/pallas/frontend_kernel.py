@@ -221,6 +221,10 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     from jax.experimental.pallas import tpu as pltpu
 
     b = waves.shape[0]
+    # The grid floor-divides the batch; a non-multiple would silently
+    # return uninitialized rows past the last tile. Callers pad
+    # (extract_features_fused) — make the contract explicit here.
+    assert b % B_TILE == 0, f"batch {b} must be a multiple of B_TILE={B_TILE}"
     n_frames, n_fft, hop = cfg.num_frames, cfg.n_fft, cfg.hop_length
     n_freqs = n_fft // 2 + 1
     n_feat = cfg.num_features
@@ -308,7 +312,8 @@ def extract_features_fused(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """(B, segment_samples) → (B, num_features, num_frames) via the fused
-    kernel. Batch is padded up to a multiple of 8 internally. Configs the
+    kernel. Batch is padded up to a multiple of B_TILE (16) internally.
+    Configs the
     kernel doesn't cover (PCEN, spectral contrast, no-MFCC) and waveforms
     whose length differs from cfg.segment_samples (the kernel's frame count
     is baked to the segment geometry) fall back to the jnp path, so output

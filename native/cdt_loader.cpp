@@ -77,7 +77,13 @@ bool decode_wav(const std::string& path, Wav* out, std::string* err) {
   while (pos + 8 <= size) {
     const uint8_t* cid = raw.data() + pos;
     uint32_t csize = rd_u32(raw.data() + pos + 4);
-    if ((long)(pos + 8 + csize) > size) csize = size - pos - 8;
+    if ((long)(pos + 8 + csize) > size) {
+      // Overrunning chunk size = truncated download/write. Decoding the
+      // short payload would silently hand back a partial clip; fail loudly
+      // instead (same contract as the python twin, audio_io.read_wav).
+      *err = "truncated WAV chunk in " + path;
+      return false;
+    }
     if (memcmp(cid, "fmt ", 4) == 0) {
       fmt = raw.data() + pos + 8;
       fmt_size = csize;

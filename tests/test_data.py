@@ -117,8 +117,46 @@ class TestWav:
         audio_io.write_wav(p, wave, 22050)
         back, sr = audio_io.read_wav(p)
         assert sr == 22050 and back.shape == wave.shape
-        # Half-LSB rounding + the 32767-write/32768-read scale convention.
-        np.testing.assert_allclose(back, wave, atol=2.0 / 32768)
+        # Half-LSB rounding only: write and read share the 32768 scale.
+        np.testing.assert_allclose(back, wave, atol=0.51 / 32768)
+
+    def test_truncated_data_chunk_fails_loudly(self, tmp_path):
+        """A data chunk whose declared size overruns the file is a
+        truncated download — decode must raise, never silently return a
+        short clip (r4 review; module fail-LOUDLY rule)."""
+        wave = np.linspace(-0.5, 0.5, 4000).astype(np.float32)
+        p = tmp_path / "t.wav"
+        audio_io.write_wav(p, wave, 16000)
+        raw = p.read_bytes()
+        p.write_bytes(raw[: len(raw) - 1000])  # chop the tail off
+        with pytest.raises(audio_io.AudioDecodeError, match="[Tt]runcated"):
+            audio_io.read_wav(p)
+
+    def test_float_wav_bad_depth_rejected(self, tmp_path):
+        """fmt=3 (IEEE float) with bits not in {32, 64} has no valid
+        layout — reinterpreting the payload would yield garbage
+        amplitudes; it must raise instead (r4 review)."""
+        import struct
+
+        pcm = np.zeros(100, np.int16).tobytes()
+        hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 32000, 2, 16)
+        hdr += b"data" + struct.pack("<I", len(pcm))
+        p = tmp_path / "f16.wav"
+        p.write_bytes(hdr + pcm)
+        with pytest.raises(audio_io.AudioDecodeError, match="float depth"):
+            audio_io.read_wav(p)
+
+    def test_write_read_round_trip_bit_exact(self, tmp_path):
+        """write_wav shares read_wav's 32768 scale, so int16-grid values
+        survive a decode→write→decode round trip bit-exactly (the old
+        32767 write scale perturbed every |k| >= 16385 by one LSB)."""
+        codes = np.array([0, 1, -1, 16385, -16385, 32767, -32768], np.int64)
+        wave = (codes / 32768.0).astype(np.float32)[None, :]
+        p = tmp_path / "rt.wav"
+        audio_io.write_wav(p, wave, 16000)
+        back, _ = audio_io.read_wav(p)
+        np.testing.assert_array_equal(back, wave)
 
     def test_float32_wav(self, tmp_path):
         # Hand-build an IEEE-float WAV and read it back.
@@ -585,6 +623,41 @@ class TestIngestNegativeSelections:
             for f in (out / "non_cough").glob("*.wav")
         }
         assert got == expected_classes
+
+    def test_download_esc50_rejects_partial_extraction(
+        self, tmp_path, monkeypatch
+    ):
+        """An interrupted extraction (dir exists but no metadata / short
+        audio dir) must NOT count as downloaded on the next run (r4
+        review): the incomplete tree triggers a re-download, a complete
+        one short-circuits without touching the network."""
+        from cough_detector_tpu.data import acquire
+
+        partial = tmp_path / "ESC-50-master"
+        (partial / "audio").mkdir(parents=True)
+        (partial / "audio" / "1-100032-A-0.wav").touch()  # far short of 2000
+
+        calls = []
+
+        def fake_download(url, dest):
+            calls.append(url)
+            raise RuntimeError("network sentinel")
+
+        monkeypatch.setattr(
+            acquire.urllib.request, "urlretrieve", fake_download
+        )
+        with pytest.raises(RuntimeError, match="network sentinel"):
+            acquire.download_esc50(str(tmp_path))
+        assert len(calls) == 1  # the partial dir forced a re-download
+
+        # Now make it structurally complete: metadata + 2000 audio files.
+        (partial / "meta").mkdir()
+        (partial / "meta" / "esc50.csv").touch()
+        for i in range(2000):
+            (partial / "audio" / f"clip_{i:04d}.wav").touch()
+        got = acquire.download_esc50(str(tmp_path))
+        assert got == str(partial)
+        assert len(calls) == 1  # no second network attempt
 
     def test_coughvid_selection_rules_match_reference(self):
         """select_coughvid pins the reference's row rules

@@ -7,7 +7,9 @@ from cough_detector_tpu.config import Config
 from cough_detector_tpu.models import create_model, init_model
 from cough_detector_tpu.models.export import (
     aot_compile,
+    export_serialized,
     export_stablehlo,
+    load_serialized,
     make_serving_fn,
 )
 from cough_detector_tpu.utils.observability import (
@@ -33,6 +35,23 @@ class TestExport:
         probs = np.asarray(compiled(waves))
         assert probs.shape == (4, 2)
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+    def test_serialized_executable_round_trip(self, tmp_path):
+        """export_serialized must persist a LOADABLE executable (an r4
+        review found the old implementation called a method jax.stages.
+        Compiled does not have, so it always returned None)."""
+        model, variables, cfg = _setup()
+        serve = make_serving_fn(model, variables, cfg)
+        compiled = aot_compile(serve, batch_size=2)
+        out = export_serialized(compiled, str(tmp_path / "serve.jaxexec"))
+        assert out is not None, "serialization must succeed on this backend"
+        reloaded = load_serialized(out)
+        waves = np.random.default_rng(0).standard_normal((2, 16000)).astype(
+            np.float32
+        )
+        np.testing.assert_array_equal(
+            np.asarray(reloaded(waves)), np.asarray(compiled(waves))
+        )
 
     def test_stablehlo_export(self):
         model, variables, cfg = _setup()

@@ -82,6 +82,22 @@ class TestNativeLoader:
                 _crop_window(mono, 16000), want, err_msg=p
             )
 
+    def test_truncated_wav_quarantined(self, tmp_path):
+        """The C++ decoder must reject an overrunning chunk size exactly
+        like audio_io.read_wav does (truncated-download twin contract),
+        not silently decode the short payload."""
+        good = tmp_path / "good.wav"
+        audio_io.write_wav(good, synth.synthetic_cough(1, 1.0), 16000)
+        trunc = tmp_path / "trunc.wav"
+        raw = good.read_bytes()
+        trunc.write_bytes(raw[: len(raw) - 500])
+        waves, n_ok, errors = native_loader.load_batch(
+            [str(trunc), str(good)], 16000, 16000
+        )
+        assert n_ok == 1
+        assert "truncated" in errors.lower() and "trunc.wav" in errors
+        assert np.all(waves[0] == 0) and not np.all(waves[1] == 0)
+
     def test_bad_file_quarantined(self, tmp_path):
         bad = tmp_path / "bad.wav"
         bad.write_bytes(b"not audio")
