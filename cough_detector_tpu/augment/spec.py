@@ -72,14 +72,22 @@ def mixup(
     y_onehot: jnp.ndarray,
     key: jax.Array,
     alpha: float = 0.2,
+    mask: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batch MixUp: convex combination of each sample with a random partner,
     λ ~ Beta(α, α) (reference: src/augmentation.py:334-369 — defined there
-    but never wired into training; provided for capability parity)."""
+    but never wired into training; opt-in via TrainConfig.use_mixup).
+
+    `mask` (float/bool (B,), 1 = real row): when a row's drawn PARTNER is a
+    padded row, λ is forced to 1 so real samples never mix with padding
+    garbage (padded rows themselves carry zero loss weight, so whatever
+    they become is irrelevant)."""
     b = x.shape[0]
     k_lam, k_perm = jax.random.split(key)
     lam = jax.random.beta(k_lam, alpha, alpha, (b,))
     perm = jax.random.permutation(k_perm, b)
+    if mask is not None:
+        lam = jnp.where(mask[perm] > 0, lam, 1.0)
     lam_x = lam.reshape((b,) + (1,) * (x.ndim - 1))
     lam_y = lam.reshape((b,) + (1,) * (y_onehot.ndim - 1))
     x_mixed = lam_x * x + (1 - lam_x) * x[perm]

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Force single-device eval (default shards the "
                         "batch over all visible chips)")
     p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--grid-step", type=float, default=0.05,
+                   help="--calibrate threshold sweep granularity over "
+                        "[0.05, 0.99]; 0.01 resolves narrow operating "
+                        "bands a 0.05 grid steps over (sweep cost is "
+                        "replay-only — scenarios are scored once)")
     p.add_argument("--minutes", type=float, default=2.0,
                    help="Synthetic audio minutes per behavioral scenario")
     p.add_argument("--seed", type=int, default=0)
@@ -383,7 +388,9 @@ def _calibrate(args) -> None:
             )
 
     sweep = []
-    for thr in np.round(np.arange(0.05, 0.96, 0.05), 2):
+    step = args.grid_step
+    grid = np.round(np.arange(0.05, 0.99 + step / 2, step), 2)
+    for thr in grid[grid <= 0.99]:
         fp_sil = len(_replay_events(
             series["silence"], thr, debounce_windows, hop, window, sr
         )) / args.minutes

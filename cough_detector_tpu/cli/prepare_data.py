@@ -24,8 +24,32 @@ def build_parser() -> argparse.ArgumentParser:
                         "laughs, throat clears) instead of stationary "
                         "noise — the hard-negative curation step "
                         "(reference IMPROVEMENT_PLAN.md:81-85)")
+    p.add_argument("--hard-negative-weights", type=str, default=None,
+                   metavar="K=W,...",
+                   help="Skew the hard-negative kind mix, e.g. "
+                        "'laugh=0.5,throat_clear=0.3,speech=0.2' "
+                        "(kinds: speech, laugh, throat_clear; weights "
+                        "normalized). Default: uniform")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def parse_kind_weights(spec):
+    """'laugh=0.5,speech=0.2' → {'laugh': 0.5, 'speech': 0.2} (None → None)."""
+    if spec is None:
+        return None
+    out = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if not _:
+            raise SystemExit(
+                f"--hard-negative-weights: expected KIND=WEIGHT, got {part!r}"
+            )
+        out[k.strip()] = float(v)
+    return out
 
 
 def main(argv=None) -> None:
@@ -59,6 +83,7 @@ def main(argv=None) -> None:
         n_non_coughs=args.synthetic_non_coughs,
         seed=args.seed,
         hard_negative_frac=args.hard_negatives,
+        hard_negative_weights=parse_kind_weights(args.hard_negative_weights),
     )
     print(f"Synthetic: {n_c} coughs, {n_n} non-coughs "
           f"({args.hard_negatives:.0%} hard)")

@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="With --shards: stream batches from host instead "
                         "of uploading the corpus to HBM and running one "
                         "scanned XLA program per epoch")
+    p.add_argument("--mixup", nargs="?", const=0.2, type=float, default=None,
+                   metavar="ALPHA",
+                   help="Enable feature-space MixUp with λ ~ Beta(α, α) "
+                        "(default α 0.2). Off by default, matching the "
+                        "reference (src/augmentation.py:334-369 defines "
+                        "MixUp but never wires it into training)")
     p.add_argument("--no-esc50", action="store_true")
     p.add_argument("--esc50-dir", type=str, default=None)
     p.add_argument("--export-pt", action="store_true",
@@ -74,6 +80,8 @@ def main(argv=None) -> None:
             weight_decay=args.weight_decay,
             epochs=args.epochs,
             patience=args.patience,
+            use_mixup=args.mixup is not None,
+            mixup_alpha=args.mixup if args.mixup is not None else 0.2,
         ),
     )
 

@@ -117,6 +117,14 @@ class TrainConfig:
     time_mask_param: int = 15
     n_freq_masks: int = 2
     n_time_masks: int = 2
+    # MixUp on the feature images (reference: src/augmentation.py:334-369
+    # defines MixUp but never wires it into training; off by default to
+    # match). When on, each batch row is convexly mixed with a random
+    # partner (λ ~ Beta(α, α)) and the loss uses the mixed soft labels —
+    # a measured lever for the strict behavioral band (BASELINE.md r5
+    # curation matrix).
+    use_mixup: bool = False
+    mixup_alpha: float = 0.2
     seed: int = 0
 
 

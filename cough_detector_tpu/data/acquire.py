@@ -131,6 +131,7 @@ def generate_synthetic_dataset(
     sample_rate: int = 16000,
     seed: int = 0,
     hard_negative_frac: float = 0.0,
+    hard_negative_weights=None,
 ) -> Tuple[int, int]:
     """Deterministic synthetic coughs + non-coughs
     (reference: setup_data.py:95-164).
@@ -142,8 +143,12 @@ def generate_synthetic_dataset(
     IMPROVEMENT_PLAN.md:81-85,142-144. 0.0 reproduces the reference's
     setup_data.py menu exactly; the r4 BASELINE matrix measures ~0.3
     closing the confusables FP gap the behavioral protocol exposes.
+    `hard_negative_weights` ({kind: weight}) skews the hard-negative
+    kind mix (synth.synthetic_hard_negative) — laugh-heavy curation
+    when laughs are the measured FP residue.
     Determinism contract: file i's contents depend only on (seed, i,
-    and whether i falls in the hard tail), never on the other files."""
+    the weights, and whether i falls in the hard tail), never on the
+    other files."""
     if not 0.0 <= hard_negative_frac <= 1.0:
         raise ValueError(
             f"hard_negative_frac must be a fraction in [0, 1], got "
@@ -167,8 +172,10 @@ def generate_synthetic_dataset(
                                              sample_rate)
             name = f"synthetic_other_{i:03d}.wav"
         else:
-            wave = synth.synthetic_hard_negative(seed + 1000 + i, 2.0,
-                                                 sample_rate)
+            wave = synth.synthetic_hard_negative(
+                seed + 1000 + i, 2.0, sample_rate,
+                kind_weights=hard_negative_weights,
+            )
             name = f"synthetic_hard_{i:03d}.wav"
         audio_io.write_wav(non_cough_dir / name, wave, sample_rate)
     return n_coughs, n_non_coughs

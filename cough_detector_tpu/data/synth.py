@@ -272,6 +272,7 @@ def synthetic_hard_negative(
     seed: int,
     duration_s: float = 2.0,
     sample_rate: int = SAMPLE_RATE,
+    kind_weights=None,
 ) -> np.ndarray:
     """Cough-confusable negative, kind chosen by seed: voiced speech, a
     laugh burst train, or a throat clear. This is the training-side twin
@@ -282,9 +283,32 @@ def synthetic_hard_negative(
     reference's hard-negative data-curation step (IMPROVEMENT_PLAN.md:
     81-85 marks foreground speech / throat clearing / laughing as the
     missing critical+high negative classes; 142-144 plans their
-    collection) on the synthetic path."""
+    collection) on the synthetic path.
+
+    `kind_weights` ({kind: weight} over HARD_NEGATIVE_KINDS, normalized
+    here) skews the kind mix — e.g. laugh-heavy curation when laughs are
+    the measured FP residue (BASELINE.md r5 matrix). None keeps the
+    uniform draw AND its exact rng stream, so existing corpora replay
+    bit-identically."""
     rng = np.random.default_rng([seed, 54])
-    kind = rng.choice(list(HARD_NEGATIVE_KINDS))
+    if kind_weights is None:
+        kind = rng.choice(list(HARD_NEGATIVE_KINDS))
+    else:
+        unknown = set(kind_weights) - set(HARD_NEGATIVE_KINDS)
+        if unknown:
+            raise ValueError(
+                f"unknown hard-negative kinds {sorted(unknown)}; "
+                f"choose from {HARD_NEGATIVE_KINDS}"
+            )
+        w = np.array(
+            [float(kind_weights.get(k, 0.0)) for k in HARD_NEGATIVE_KINDS]
+        )
+        if w.sum() <= 0 or (w < 0).any():
+            raise ValueError(
+                f"kind_weights must be non-negative with a positive sum, "
+                f"got {kind_weights!r}"
+            )
+        kind = rng.choice(list(HARD_NEGATIVE_KINDS), p=w / w.sum())
     fn = {
         "speech": synthetic_speech,
         "laugh": synthetic_laugh,

@@ -393,9 +393,13 @@ def train(
                 make_routed_gather(mesh) if shard_corpus
                 else steps._default_gather
             ),
+            mixup_alpha=tcfg.mixup_alpha if tcfg.use_mixup else None,
         )
     else:
-        train_step = steps.make_train_step(feature_fn=train_features)
+        train_step = steps.make_train_step(
+            feature_fn=train_features,
+            mixup_alpha=tcfg.mixup_alpha if tcfg.use_mixup else None,
+        )
         eval_step = steps.make_eval_step(feature_fn=eval_features)
 
     # Static batch geometry: train batches (drop_last) pad only up to mesh

@@ -43,20 +43,34 @@ def weighted_cross_entropy(
     labels: jnp.ndarray,
     class_weights: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
+    soft_labels: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch CrossEntropyLoss(weight=w) semantics:
     sum_i w[y_i] * nll_i / sum_i w[y_i] (reference: src/train.py:441).
 
     `mask` (float/bool, shape (B,)) zeroes padded rows so batches padded to
     a static shape — mesh-divisible training batches, fixed-size eval tails —
-    produce exactly the unpadded loss."""
+    produce exactly the unpadded loss.
+
+    `soft_labels` ((B, C) probabilities, e.g. MixUp targets) replaces the
+    hard `labels` in the loss: nll_i = -Σ_c y_ic log p_ic with per-row
+    weight w_i = Σ_c y_ic w_c. For one-hot soft labels this reduces exactly
+    to the hard-label formula, so the two paths share one definition."""
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
-    w = (
-        jnp.ones_like(nll)
-        if class_weights is None
-        else class_weights[labels]
-    )
+    if soft_labels is not None:
+        nll = -jnp.sum(soft_labels * log_probs, axis=-1)
+        w = (
+            jnp.ones_like(nll)
+            if class_weights is None
+            else soft_labels @ class_weights
+        )
+    else:
+        nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+        w = (
+            jnp.ones_like(nll)
+            if class_weights is None
+            else class_weights[labels]
+        )
     if mask is not None:
         w = w * mask.astype(w.dtype)
     return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
@@ -119,6 +133,7 @@ def train_step(
     class_weights: jnp.ndarray,
     feature_fn: Optional[Callable] = None,
     mask: Optional[jnp.ndarray] = None,
+    mixup_alpha: Optional[float] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One optimization step. If `feature_fn` is given, inputs are raw
     waveforms featurized on-device inside the same jit program — the fused
@@ -128,8 +143,24 @@ def train_step(
     `mask` excludes rows padded for mesh divisibility from the loss, the
     metrics, AND the BatchNorm batch statistics (models/layers.py
     BatchNorm): a padded step's loss, gradients and running stats are
-    exactly the unpadded batch's, so padding is trajectory-invariant."""
+    exactly the unpadded batch's, so padding is trajectory-invariant.
+
+    `mixup_alpha` (static, TrainConfig.use_mixup) mixes the feature images
+    and one-hot labels with a random partner row (augment/spec.mixup) and
+    switches the loss to the soft-label form. The default-off path draws
+    identical RNG keys to before, so the (seed, epoch) determinism/resume
+    contract for non-mixup runs is untouched; accuracy metrics stay
+    against the original hard labels (λ ~ Beta(0.2, 0.2) concentrates near
+    {0,1}, so the dominant label remains the meaningful target)."""
     feats = feature_fn(waves_or_feats) if feature_fn is not None else waves_or_feats
+
+    soft = None
+    if mixup_alpha is not None:
+        from ..augment.spec import mixup
+
+        rng, mix_key = jax.random.split(rng)
+        onehot = jax.nn.one_hot(labels, class_weights.shape[0])
+        feats, soft = mixup(feats, onehot, mix_key, mixup_alpha, mask=mask)
 
     def loss_fn(params):
         logits, mutated = state.apply_fn(
@@ -140,7 +171,9 @@ def train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        loss = weighted_cross_entropy(logits, labels, class_weights, mask)
+        loss = weighted_cross_entropy(
+            logits, labels, class_weights, mask, soft_labels=soft
+        )
         return loss, (logits, mutated["batch_stats"])
 
     (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -206,8 +239,14 @@ def eval_step(
     }
 
 
-def make_train_step(feature_fn: Optional[Callable] = None, donate: bool = True):
-    fn = functools.partial(train_step, feature_fn=feature_fn)
+def make_train_step(
+    feature_fn: Optional[Callable] = None,
+    donate: bool = True,
+    mixup_alpha: Optional[float] = None,
+):
+    fn = functools.partial(
+        train_step, feature_fn=feature_fn, mixup_alpha=mixup_alpha
+    )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -254,6 +293,7 @@ def train_epoch_scan(
     class_weights: jnp.ndarray,
     feature_fn: Callable,
     gather_fn: Callable = _default_gather,
+    mixup_alpha: Optional[float] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """One full training epoch as a single scanned program.
 
@@ -272,7 +312,7 @@ def train_epoch_scan(
         waves = gather_fn(corpus, idx)
         st, m = train_step(
             st, (waves, aug_key), labels, dropout_key, class_weights,
-            feature_fn=feature_fn, mask=mask,
+            feature_fn=feature_fn, mask=mask, mixup_alpha=mixup_alpha,
         )
         return (st, key), m
 
@@ -324,6 +364,7 @@ def train_and_eval_epoch_scan(
     train_feature_fn: Callable,
     eval_feature_fn: Callable,
     gather_fn: Callable = _default_gather,
+    mixup_alpha: Optional[float] = None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
     """One epoch's train scan + validation pass FUSED into a single XLA
     program: over a dev tunnel whose per-dispatch round trip exceeds a
@@ -336,6 +377,7 @@ def train_and_eval_epoch_scan(
     state, train_ms = train_epoch_scan(
         state, train_corpus, idx_mat, labels_mat, mask_mat, rng,
         class_weights, feature_fn=train_feature_fn, gather_fn=gather_fn,
+        mixup_alpha=mixup_alpha,
     )
     val_ms = eval_epoch_scan(
         state, val_corpus, val_idx, val_labels, val_mask, class_weights,
@@ -348,6 +390,7 @@ def make_fused_epoch_fn(
     train_feature_fn: Callable,
     eval_feature_fn: Callable,
     gather_fn: Callable = _default_gather,
+    mixup_alpha: Optional[float] = None,
 ) -> Callable:
     # No state donation: the train loop PIPELINES epochs (dispatch e+1
     # before fetching e's results), so epoch e's output state must stay
@@ -359,5 +402,6 @@ def make_fused_epoch_fn(
             train_feature_fn=train_feature_fn,
             eval_feature_fn=eval_feature_fn,
             gather_fn=gather_fn,
+            mixup_alpha=mixup_alpha,
         )
     )

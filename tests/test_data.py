@@ -107,6 +107,62 @@ class TestHardNegativeCorpus:
         assert not list(neg.glob("synthetic_hard_*.wav"))
         assert len(list(neg.glob("synthetic_other_*.wav"))) == 4
 
+    def test_kind_weights_skew_and_degenerate(self):
+        """kind_weights (r5 curation lever): a one-hot weight pins the
+        kind — the output IS that generator's clip for the same seed —
+        and bad weight dicts fail loudly."""
+        for s in range(6):
+            got = synth.synthetic_hard_negative(
+                s, 2.0, kind_weights={"laugh": 1.0}
+            )
+            np.testing.assert_array_equal(got, synth.synthetic_laugh(s, 2.0))
+        # Skewed weights shift the empirical mix toward the heavy kind.
+        import collections
+        counts = collections.Counter()
+        w = {"laugh": 0.8, "speech": 0.1, "throat_clear": 0.1}
+        wl = [w[k] for k in synth.HARD_NEGATIVE_KINDS]
+        for s in range(60):
+            rng = np.random.default_rng([s, 54])
+            counts[str(rng.choice(
+                list(synth.HARD_NEGATIVE_KINDS),
+                p=np.array(wl) / sum(wl),
+            ))] += 1
+        assert counts["laugh"] > counts["speech"]
+        assert counts["laugh"] > counts["throat_clear"]
+        with pytest.raises(ValueError, match="unknown hard-negative"):
+            synth.synthetic_hard_negative(0, 2.0, kind_weights={"sneeze": 1})
+        with pytest.raises(ValueError, match="positive sum"):
+            synth.synthetic_hard_negative(0, 2.0, kind_weights={"laugh": 0.0})
+
+    def test_kind_weights_none_replays_r4_stream(self):
+        """Default (None) must keep the EXACT uniform rng draw path so
+        existing corpora regenerate bit-identically."""
+        for s in (0, 7, 23):
+            want_kind = str(np.random.default_rng([s, 54]).choice(
+                list(synth.HARD_NEGATIVE_KINDS)))
+            fn = {"speech": synth.synthetic_speech,
+                  "laugh": synth.synthetic_laugh,
+                  "throat_clear": synth.synthetic_throat_clear}[want_kind]
+            np.testing.assert_array_equal(
+                synth.synthetic_hard_negative(s, 2.0), fn(s, 2.0)
+            )
+
+    def test_weights_thread_through_dataset(self, tmp_path):
+        from cough_detector_tpu.data import acquire
+
+        acquire.generate_synthetic_dataset(
+            str(tmp_path), n_coughs=1, n_non_coughs=6, seed=5,
+            hard_negative_frac=0.5,
+            hard_negative_weights={"throat_clear": 1.0},
+        )
+        neg = tmp_path / "non_cough"
+        hard = sorted(neg.glob("synthetic_hard_*.wav"))
+        assert len(hard) == 3
+        back, _ = audio_io.read_wav(hard[0])
+        idx = int(hard[0].stem.split("_")[-1])
+        want = synth.synthetic_throat_clear(5 + 1000 + idx, 2.0)
+        np.testing.assert_allclose(back[0], want, atol=2.0 / 32768)
+
 
 class TestWav:
     @pytest.mark.parametrize("channels", [1, 2])

@@ -357,6 +357,39 @@ class TestTrainFromShards:
                     err_msg=f"epoch {ra['epoch']} field {k}",
                 )
 
+    def test_mixup_scan_matches_streamed_path(self, data_dir, tmp_path):
+        """With TrainConfig.use_mixup on, the epoch-scan and streamed
+        paths share train_step's mixup key split — metrics must still
+        agree across dispatch granularities (r5 lever, BASELINE matrix)."""
+        import dataclasses
+
+        from cough_detector_tpu.train import train
+
+        shards = self._pack(data_dir, tmp_path)
+        cfg = self._cfg(2)
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train, use_mixup=True)
+        )
+        out_scan = tmp_path / "mscan"
+        out_stream = tmp_path / "mstream"
+        train(None, str(out_scan), config=cfg, shards_dir=shards,
+              device_corpus=True)
+        train(None, str(out_stream), config=cfg, shards_dir=shards,
+              device_corpus=False)
+        skip = {"train_clips_per_sec", "val_clips_per_sec", "wall_s", "t"}
+        for la, lb in zip(
+            (out_scan / "metrics.jsonl").read_text().splitlines(),
+            (out_stream / "metrics.jsonl").read_text().splitlines(),
+        ):
+            ra, rb = json.loads(la), json.loads(lb)
+            for k, va in ra.items():
+                if k in skip:
+                    continue
+                np.testing.assert_allclose(
+                    rb[k], va, rtol=1e-4, atol=1e-6,
+                    err_msg=f"epoch {ra['epoch']} field {k}",
+                )
+
     def test_sharded_device_corpus_matches_replicated(
         self, data_dir, tmp_path
     ):
