@@ -77,6 +77,12 @@ def load_serialized(path: str, devices=None):
     """Reload an `export_serialized` artifact as a callable compiled
     executable (same jaxlib + compatible device topology required).
 
+    TRUST REQUIREMENT: the artifact is a pickle (the tree-defs inside
+    a serialized executable are not plain JSON), and unpickling executes
+    arbitrary code from the file — load ONLY artifacts from a trusted
+    producer, exactly the trust level of a model checkpoint. Do not point
+    this at downloaded or user-supplied blobs.
+
     `devices` defaults to the first N of `jax.devices()`, N as recorded
     at export — without this, deserialize_and_load spreads the program
     over EVERY visible device and a single-device serving executable then

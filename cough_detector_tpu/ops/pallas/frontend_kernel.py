@@ -223,8 +223,13 @@ def _run(waves: jnp.ndarray, cfg: FeatureConfig, interpret: bool) -> jnp.ndarray
     b = waves.shape[0]
     # The grid floor-divides the batch; a non-multiple would silently
     # return uninitialized rows past the last tile. Callers pad
-    # (extract_features_fused) — make the contract explicit here.
-    assert b % B_TILE == 0, f"batch {b} must be a multiple of B_TILE={B_TILE}"
+    # (extract_features_fused) — enforce the contract here. ValueError,
+    # not assert: under `python -O` an assert is stripped and the
+    # uninitialized-rows failure it guards against would come back.
+    if b % B_TILE != 0:
+        raise ValueError(
+            f"batch {b} must be a multiple of B_TILE={B_TILE}"
+        )
     n_frames, n_fft, hop = cfg.num_frames, cfg.n_fft, cfg.hop_length
     n_freqs = n_fft // 2 + 1
     n_feat = cfg.num_features

@@ -446,6 +446,16 @@ class DetectionServer:
                 np.zeros((num_streams, chunk_size), self._h2d)
                 for _ in range(self._max_ahead)
             ]
+            # granted()/thresh_updates() DRAIN the C++ plane's queues, but
+            # the device scrub/retune they trigger can fail transiently
+            # (the tick loop contains exceptions). Drained items stay
+            # here until the device call SUCCEEDS — otherwise a granted
+            # slot is already activated for assembly while its lane still
+            # carries the previous tenant's smoothing/debounce/threshold
+            # state (silent cross-tenant leakage; r4 advisor). Tick-thread
+            # private: only _tick_once_native touches these.
+            self._unscrubbed_grants: List[tuple] = []
+            self._unapplied_retunes: List[tuple] = []
         else:
             self._ingest = None
             self._native_pending = False
@@ -798,9 +808,21 @@ class DetectionServer:
     def _tick_once_native(self) -> None:
         """Native-backend tick: the C++ plane already buffered the audio;
         this thread scrubs newly granted lanes, assembles the batch with
-        one ctypes call (no per-frame Python anywhere), and dispatches."""
-        granted = self._ingest.granted()
+        one ctypes call (no per-frame Python anywhere), and dispatches.
+
+        Grants/retunes drained from the C++ queues are only CONSUMED
+        after their device call succeeds: a contained scrub failure
+        leaves them in the pending stash and the next tick retries
+        (reset_streams/set_thresholds are idempotent), so an activated
+        lane can never serve a new tenant with the previous occupant's
+        smoothing history, debounce clock or threshold. A slot re-granted
+        while its scrub is still pending dedups to the NEWEST tenant."""
+        self._unscrubbed_grants.extend(self._ingest.granted())
+        granted = self._unscrubbed_grants
         if granted:
+            if len({sid for sid, _, _ in granted}) != len(granted):
+                newest = {g[0]: g for g in granted}
+                granted = list(newest.values())
             self._detector.reset_streams(
                 [sid for sid, _, _ in granted],
                 thresholds=[thr for _, _, thr in granted],
@@ -808,7 +830,20 @@ class DetectionServer:
             start_sample = self._dispatched * self.chunk_size
             for sid, gen, _ in granted:
                 self._slot_meta[sid] = (gen, start_sample)
-        retunes = self._ingest.thresh_updates()
+            self._unscrubbed_grants = []
+            # A retune still pending from a FAILED earlier tick belongs
+            # to the slot's previous tenant; the fresh grant's scrub
+            # supersedes it (this tick's new retunes are drained below,
+            # AFTER this purge, so same-tick grant+retune still resolves
+            # to the retune).
+            if self._unapplied_retunes:
+                granted_sids = {sid for sid, _, _ in granted}
+                self._unapplied_retunes = [
+                    r for r in self._unapplied_retunes
+                    if r[0] not in granted_sids
+                ]
+        self._unapplied_retunes.extend(self._ingest.thresh_updates())
+        retunes = self._unapplied_retunes
         if retunes:
             # After grants: same-tick grant + retune resolve to the
             # retune. Scrub-free (detector.set_thresholds).
@@ -816,6 +851,7 @@ class DetectionServer:
                 [sid for sid, _ in retunes],
                 [thr for _, thr in retunes],
             )
+            self._unapplied_retunes = []
         buf = self._assemble_bufs[self._dispatched % len(self._assemble_bufs)]
         self._ingest.assemble(buf)
         # snapshot: retiming is tick-local (only this thread mutates it)
@@ -893,30 +929,60 @@ class DetectionServer:
         # thread is the only one dispatching device work (reset_streams is
         # not safe against a concurrent tick dispatch; the delivery thread
         # only reads already-materialized event arrays).
-        if resets:
-            self._detector.reset_streams(
-                [sid for sid, _ in resets],
-                thresholds=[thr for _, thr in resets],
-            )
-            start_sample = self._dispatched * self.chunk_size
-            for sid, _ in resets:
-                slot = live.get(sid)
-                if slot is not None:
-                    slot.open_sample = start_sample
-        if retunes:
-            # After resets: a grant and a THRESH in the same tick resolve
-            # to the retune. Scrub-free (detector.set_thresholds).
-            self._detector.set_thresholds(
-                [sid for sid, _ in retunes],
-                [thr for _, thr in retunes],
-            )
+        try:
+            if resets:
+                self._detector.reset_streams(
+                    [sid for sid, _ in resets],
+                    thresholds=[thr for _, thr in resets],
+                )
+                start_sample = self._dispatched * self.chunk_size
+                for sid, _ in resets:
+                    slot = live.get(sid)
+                    if slot is not None:
+                        slot.open_sample = start_sample
+                resets = []  # applied — failure below must not requeue
+            if retunes:
+                # After resets: a grant and a THRESH in the same tick
+                # resolve to the retune. Scrub-free
+                # (detector.set_thresholds).
+                self._detector.set_thresholds(
+                    [sid for sid, _ in retunes],
+                    [thr for _, thr in retunes],
+                )
+                retunes = []
+        except Exception:
+            # The drain above is destructive; a contained device failure
+            # must not lose the scrub/retune (same-tenant-leak hazard as
+            # the native plane — r4 advisor). Requeue what was NOT applied
+            # ahead of anything readers appended meanwhile; entries a
+            # newer pending item supersedes are dropped.
+            with self._reg_lock:
+                newer_r = {sid for sid, _ in self._pending_resets}
+                self._pending_resets = [
+                    r for r in resets if r[0] not in newer_r
+                ] + self._pending_resets
+                newer_t = {sid for sid, _ in self._pending_thresholds}
+                self._pending_thresholds = [
+                    r for r in retunes if r[0] not in newer_t
+                ] + self._pending_thresholds
+            raise
+        pulled = 0
         for slot_id, slot in live.items():
+            pulled += min(slot.buffered, self.chunk_size)
             chunk[slot_id] = slot.pull(self.chunk_size)
         if self._h2d is np.int16:
             chunk = quantize_i16(chunk)
         elif self._h2d is np.uint8:
             chunk = quantize_mulaw(chunk)
-        self._dispatch_tick(chunk, live)
+        try:
+            self._dispatch_tick(chunk, live)
+        except Exception:
+            # The pull above already consumed the audio; a failed dispatch
+            # discards it, so account it — keeping drop totals equal to
+            # the native plane's under the same transient error.
+            if pulled:
+                self._bump("dropped_samples", pulled)
+            raise
 
     def _fetch_loop(self) -> None:
         """Pull one tick's events off the device (blocking round trip) —

@@ -1796,6 +1796,97 @@ class TestIsolationAndRecovery:
         finally:
             release.set()
 
+    @pytest.mark.parametrize("backend", ["python", "native"])
+    def test_failed_scrub_is_retried_not_lost(
+        self, model_and_config, backend
+    ):
+        """granted()/pending-reset drains are destructive; a transient
+        reset_streams failure (the tick loop contains it) must leave the
+        grant in the pending stash and RETRY next tick — never hand an
+        activated lane to a new tenant with the previous occupant's
+        smoothing/debounce/threshold state (r4 advisor, both backends)."""
+        if backend == "native":
+            from cough_detector_tpu.serve import native_ingest
+
+            if not native_ingest.available():
+                pytest.skip("native ingest plane not built")
+        wave = synth.synthetic_cough(11, 2.0)
+        n_chunks = wave.size // CHUNK
+        srv = _make_server(
+            model_and_config, num_streams=2, backend=backend
+        )
+        with srv:
+            orig = srv._detector.reset_streams
+            calls = []
+
+            def flaky(sids, thresholds=None):
+                calls.append(list(sids))
+                if len(calls) == 1:
+                    raise RuntimeError("synthetic tunnel failure")
+                return orig(sids, thresholds=thresholds)
+
+            srv._detector.reset_streams = flaky
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(lambda: len(calls) >= 2)
+                # The retry re-applies the SAME slot's scrub.
+                assert calls[1] == calls[0] and sid in calls[0]
+                assert _wait(
+                    lambda: srv.stats()["tick_dispatch_errors"] >= 1
+                )
+                # The stream still works end to end after the retry.
+                got = c.events(timeout=10.0)
+            stats = srv.stats()
+        assert got, "post-retry ticks must deliver events"
+        assert stats["tick_dispatch_errors"] >= 1
+        if backend == "python":
+            assert srv._pending_resets == []
+        else:
+            assert srv._unscrubbed_grants == []
+
+    def test_python_dispatch_failure_counts_dropped_audio(
+        self, model_and_config
+    ):
+        """Python backend: a dispatch failure AFTER the per-slot pull
+        discards one tick of audio — it must land in dropped_samples so
+        both backends account identically under the same transient error
+        (r4 advisor)."""
+        wave = synth.synthetic_cough(12, 2.0)
+        n_chunks = wave.size // CHUNK
+        srv = _make_server(
+            model_and_config, num_streams=2, backend="python"
+        )
+        with srv:
+            orig = srv._detector.tick_async
+            state = {"calls": 0}
+
+            def flaky(batch):
+                state["calls"] += 1
+                if state["calls"] == 1:
+                    raise RuntimeError("synthetic dispatch failure")
+                return orig(batch)
+
+            srv._detector.tick_async = flaky
+            host, port = srv.address
+            with DetectionClient(host, port) as c:
+                sid = c.open_stream()
+                for t in range(n_chunks):
+                    c.send_audio(sid, wave[t * CHUNK : (t + 1) * CHUNK])
+                assert _wait(
+                    lambda: srv.stats()["tick_dispatch_errors"] >= 1
+                )
+                assert _wait(
+                    lambda: srv.stats()["dropped_samples"] >= CHUNK
+                )
+                got = c.events(timeout=10.0)
+            stats = srv.stats()
+        assert got, "later ticks must still deliver"
+        # Exactly one tick's pull was discarded for the one open stream.
+        assert stats["dropped_samples"] == CHUNK
+
     def test_daemon_bench_harness_smoke(self):
         """bench.py --daemon end-to-end on the loopback: clients feed
         real-time PCM, the pipelined tick holds cadence, events arrive."""
