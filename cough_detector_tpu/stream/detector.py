@@ -362,6 +362,16 @@ class CoughDetectorInference:
             hop_duration=0.25,
         )
         self.config = self._engine.config.to_flat_dict()
+        # Jitted predict path (r4 VERDICT weak #5): an eager model.apply
+        # dispatches dozens of ops per call — ~27 ms of tunnel round
+        # trips each on the dev link; one fused program per feature-batch
+        # shape instead (the engine's _score_jit pattern).
+        model, variables = self._engine._model, self._engine._variables
+        self._predict_jit = jax.jit(
+            lambda feats: jax.nn.softmax(
+                model.apply(variables, feats, train=False), axis=-1
+            )[:, 1]
+        )
         self.on_cough_detected: Optional[
             Callable[[datetime.datetime, float], None]
         ] = None
@@ -386,14 +396,12 @@ class CoughDetectorInference:
 
     def predict(self, features: np.ndarray) -> Tuple[bool, float]:
         """(is_cough, p_cough) for a (1, H, T) or (B, 1, H, T) feature
-        tensor (reference: src/inference.py:165-189)."""
+        tensor (reference: src/inference.py:165-189). One jitted program
+        per feature-batch shape — not an eager apply (r4 VERDICT #5)."""
         feats = jnp.asarray(features)
         if feats.ndim == 3:
             feats = feats[None]
-        logits = self._engine._model.apply(
-            self._engine._variables, feats, train=False
-        )
-        p = float(jax.nn.softmax(logits, axis=-1)[0, 1])
+        p = float(self._predict_jit(feats)[0])
         return p > 0.5, p
 
     def process_audio_chunk(

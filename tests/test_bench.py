@@ -46,6 +46,20 @@ def test_headline_schema():
     assert rec["vs_baseline"] == round(rec["value"] / 10_000.0, 3)
 
 
+def test_headline_fresh_h2d_schema():
+    """--fresh-h2d adds the ingest-inclusive row (r4 VERDICT #5): a
+    second JSON line whose timed region device_puts a fresh int16 batch
+    per iteration."""
+    recs = _run(["--batch", "64", "--fresh-h2d"])
+    assert len(recs) == 2
+    rec = recs[1]
+    assert rec["metric"] == "1s_clips_per_sec_per_chip_ingest_inclusive"
+    assert rec["unit"] == "clips/s/chip"
+    assert rec["value"] > 0
+    assert rec["batch"] == 64
+    assert rec["h2d_bytes_per_iter"] == 64 * 16000 * 2
+
+
 def test_serving_schema():
     (rec,) = _run(["--serving", "--streams", "8"])
     assert rec["metric"] == "multi_stream_serving"

@@ -362,6 +362,19 @@ class TestReferenceAPIWrapper:
         is_cough, p = eng.predict(feats)
         assert isinstance(is_cough, bool) or is_cough in (True, False)
         assert 0.0 <= p <= 1.0
+        # The jitted predict path (r4 VERDICT #5) must equal the eager
+        # apply exactly, and repeated same-shape calls reuse ONE program.
+        import jax as _jax
+
+        eager = float(_jax.nn.softmax(
+            eng._engine._model.apply(
+                eng._engine._variables, feats[None], train=False
+            ), axis=-1,
+        )[0, 1])
+        assert p == pytest.approx(eager, abs=1e-6)
+        _, p2 = eng.predict(feats)
+        assert p2 == p
+        assert eng._predict_jit._cache_size() == 1
 
 
 class TestOfflineScoring:
