@@ -29,7 +29,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-device-corpus", action="store_true",
                    help="With --shards: stream batches from host instead "
                         "of uploading the corpus to HBM and running one "
-                        "scanned XLA program per epoch")
+                        "scanned XLA program per epoch "
+                        "(= --device-corpus off)")
+    p.add_argument("--device-corpus",
+                   choices=["auto", "always", "chunked", "off"],
+                   default="auto",
+                   help="With --shards: 'auto' uploads the int16 corpus "
+                        "once and scans whole epochs when it fits the "
+                        "mesh HBM budget (row-sharding it past the "
+                        "per-device budget), switching to 'chunked' "
+                        "beyond the mesh total; 'chunked' forces the "
+                        "double-buffered window-upload scan at any "
+                        "size; 'always' demands the resident layout or "
+                        "errors; 'off' streams per-batch from host")
     p.add_argument("--mixup", nargs="?", const=0.2, type=float, default=None,
                    metavar="ALPHA",
                    help="Enable feature-space MixUp with λ ~ Beta(α, α) "
@@ -113,7 +125,11 @@ def main(argv=None) -> None:
         resume=args.resume,
         num_workers=args.num_workers,
         shards_dir=args.shards,
-        device_corpus=False if args.no_device_corpus else "auto",
+        device_corpus=(
+            False if (args.no_device_corpus or args.device_corpus == "off")
+            else True if args.device_corpus == "always"
+            else args.device_corpus
+        ),
     )
     if args.export_pt:
         from pathlib import Path

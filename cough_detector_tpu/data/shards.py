@@ -261,6 +261,13 @@ class ShardLoader(_EpochKeyedLoader):
             return np.zeros((0, self.segment_samples), np.int16)
         return np.concatenate([np.asarray(w) for w in self._waves])
 
+    def corpus_rows(self, idxs: np.ndarray) -> np.ndarray:
+        """int16 waveform rows for the given GLOBAL clip indices, served
+        from the mmap'd shards — the window-buffer fetch for CHUNKED
+        device-corpus training (train/loop.py), where only the rows a
+        window's steps actually touch are uploaded."""
+        return self._gather(np.asarray(idxs))[0]
+
     def epoch_batches(self, epoch: int):
         """(idx_mat, labels_mat, mask_mat), each (steps, B), defining this
         epoch's batches — the same order __iter__ would produce for the
