@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "companding — quarter the bytes, for links "
                         "where even int16 saturates (approximate: "
                         "measured confidence deltas in docs/PARITY.md)")
+    p.add_argument("--ingest-workers", type=int, default=1,
+                   help="C++ epoll I/O threads (native backend): "
+                        "connections partition across workers "
+                        "round-robin; raise past 1 on multi-core hosts "
+                        "where one core's frame parsing is the ceiling "
+                        "(identical semantics at any count)")
     p.add_argument("--stats-interval", type=float, default=10.0)
     p.add_argument("--stats-port", type=int, default=None,
                    help="Serve GET /healthz and /stats (JSON) on this "
@@ -105,6 +111,7 @@ def main(argv=None) -> None:
         precision_mode=args.precision_mode,
         backend=args.backend,
         h2d_dtype=args.h2d_dtype,
+        ingest_workers=args.ingest_workers,
     )
     # Observability sidecar: starts (and binds) BEFORE the tick compile
     # so orchestrators can poll /healthz through the cold start; flips

@@ -68,7 +68,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.cdt_ingest_start.restype = ctypes.c_void_p
     lib.cdt_ingest_start.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_long, ctypes.c_char_p, ctypes.c_int,
+        ctypes.c_long, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
     ]
     lib.cdt_ingest_port.restype = ctypes.c_int
     lib.cdt_ingest_port.argtypes = [ctypes.c_void_p]
@@ -130,7 +130,14 @@ class NativeIngest:
         num_streams: int,
         chunk: int,
         buffer_cap: int,
+        num_workers: int = 1,
     ):
+        """num_workers: I/O (epoll) threads in the C++ plane. Connections
+        partition across workers round-robin at accept; the slot registry
+        is shared, so assemble()/granted()/send_events semantics are
+        identical at any worker count. Default 1 — right for this
+        one-core dev host; raise on multi-core production hosts where
+        frame parsing outruns a single core (BASELINE.md daemon table)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native ingest unavailable (no toolchain?)")
@@ -149,7 +156,7 @@ class NativeIngest:
         errbuf = ctypes.create_string_buffer(256)
         self._h = lib.cdt_ingest_start(
             host_ip.encode(), port, num_streams, chunk, buffer_cap,
-            errbuf, len(errbuf),
+            int(num_workers), errbuf, len(errbuf),
         )
         if not self._h:
             raise OSError(

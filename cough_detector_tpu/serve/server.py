@@ -281,6 +281,7 @@ class DetectionServer:
         delivery_workers: int = 4,
         backend: str = "auto",
         h2d_dtype: str = "float32",
+        ingest_workers: int = 1,
     ):
         """`backend`: "python" (portable socket tier, this module),
         "native" (C++ epoll data plane, native/cdt_ingest.cpp — no
@@ -289,6 +290,13 @@ class DetectionServer:
         speak the identical wire protocol and support both tick
         policies (the native plane's eager-readiness predicate is
         cdt_ingest_ready, the C++ twin of this module's _ready()).
+
+        `ingest_workers` (native backend only): number of C++ epoll I/O
+        threads. Connections partition across workers round-robin at
+        accept; slot/tick/event semantics are identical at any count
+        (event-parity tested at 4 workers vs 1). Default 1 suits this
+        one-core dev host; raise on multi-core production hosts where
+        one core's frame parsing (~10k frames/s) is the ceiling.
 
         `h2d_dtype`: dtype of the per-tick host→device batch. "float32"
         (default, exact) or "int16" (16-bit PCM: quantize on assemble —
@@ -332,6 +340,7 @@ class DetectionServer:
         self.h2d_dtype = h2d_dtype
         self._h2d = _h2d_dtypes[h2d_dtype]
         self.backend = backend
+        self._ingest_workers = max(1, int(ingest_workers))
         self._detector = StreamingDetector(
             model_path,
             variables=variables,
@@ -485,7 +494,7 @@ class DetectionServer:
 
             self._ingest = NativeIngest(
                 self._host, self._port, self.num_streams, self.chunk_size,
-                self._buffer_cap,
+                self._buffer_cap, num_workers=self._ingest_workers,
             )
             self.address = self._ingest.address
         self._threads = ([

@@ -6,10 +6,14 @@
 // with the JAX dispatch/fetch threads (measured, BASELINE.md daemon
 // table). This plane moves the ENTIRE socket tier — accept, framing,
 // slot allocation, per-slot ring buffers, event encoding/writeback —
-// into one epoll thread with no Python in the per-frame path. Python
-// keeps the device plane: per tick it calls cdt_ingest_assemble() (one
-// memcpy-per-slot fill of the batch), dispatches the XLA tick, and
-// hands detections back via cdt_ingest_send_events().
+// into N epoll worker threads with no Python in the per-frame path
+// (default N=1 on this one-core dev host; connections partition across
+// workers round-robin at accept, see struct Worker — the horizontal
+// scaling path for multi-core production hosts where frame parsing
+// outruns one core). Python keeps the device plane: per tick it calls
+// cdt_ingest_assemble() (one memcpy-per-slot fill of the batch),
+// dispatches the XLA tick, and hands detections back via
+// cdt_ingest_send_events().
 //
 // Wire protocol: normative spec in docs/PROTOCOL.md (frame table, byte
 // layouts, generation semantics, backpressure rules); byte-identical to
@@ -89,6 +93,9 @@ struct Grant {
 
 struct Conn {
   int fd = -1;
+  int worker = 0;            // owning I/O thread; all input parsing,
+                             // reaping and epoll rearming for this
+                             // connection happen on that thread only
   std::vector<uint8_t> inbuf;
   // Outbox: contiguous bytes [out_head, outbox.size()) are unsent.
   // A vector + head offset keeps flushes single-send() / single-memcpy
@@ -109,18 +116,33 @@ struct Header {
   uint32_t length;
 };
 
-struct Server {
-  int listen_fd = -1;
+// One I/O thread's epoll machinery. Workers partition CONNECTIONS (the
+// epoll entities), not slots: a connection's input parsing, frame
+// handling, flushing and reaping all run on its owning worker, so the
+// per-conn state (inbuf, dead/reaped/closed) stays single-threaded with
+// no new locks; the slot registry was already mutex-guarded for the
+// control plane, so cross-worker slot traffic needs nothing new and
+// assemble() merges all slots unchanged. Default 1 worker == the r4
+// single-epoll plane (this dev host has one core); N workers is the
+// horizontal path for a multi-core production host where frame parsing
+// outruns one core (~10k frames/s per core measured, BASELINE.md).
+struct Worker {
   int epoll_fd = -1;
   int wake_fd = -1;          // eventfd: router wants a flush / stop
+  std::thread th;
+};
+
+struct Server {
+  int listen_fd = -1;
   int port = 0;
   int num_streams = 0;
   int chunk = 0;
   long buffer_cap = 0;
 
-  std::thread io;
+  std::vector<Worker> workers;        // sized once before threads start
+  std::atomic<uint32_t> rr{0};        // round-robin accept assignment
   // Written by the control thread (cdt_ingest_stop), read by the epoll
-  // thread — must be atomic for a defined happens-before edge.
+  // threads — must be atomic for a defined happens-before edge.
   std::atomic<bool> stopping{false};
 
   std::mutex reg_m;          // slots' registry fields, free list, conns
@@ -223,7 +245,8 @@ void close_conn(Server* s, Conn* c) {
     c->slots.clear();
     s->conns.erase(c->fd);
   }
-  epoll_ctl(s->epoll_fd, EPOLL_CTL_DEL, c->fd, nullptr);
+  epoll_ctl(s->workers[c->worker].epoll_fd, EPOLL_CTL_DEL, c->fd,
+            nullptr);
   ::close(c->fd);
   delete c;  // safe: send_events reaches conns only under reg_m
 }
@@ -259,7 +282,7 @@ void rearm(Server* s, Conn* c) {
   epoll_event ev{};
   ev.events = EPOLLIN | (pending_out ? EPOLLOUT : 0);
   ev.data.ptr = c;
-  epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, c->fd, &ev);
+  epoll_ctl(s->workers[c->worker].epoll_fd, EPOLL_CTL_MOD, c->fd, &ev);
 }
 
 void protocol_error(Server* s, Conn* c, const char* msg) {
@@ -491,15 +514,19 @@ void drain_input(Server* s, Conn* c) {
   if (off) c->inbuf.erase(c->inbuf.begin(), c->inbuf.begin() + off);
 }
 
-void io_loop(Server* s) {
+void io_loop(Server* s, int widx) {
+  Worker& me = s->workers[widx];
   epoll_event evs[128];
   for (;;) {
-    int n = epoll_wait(s->epoll_fd, evs, 128, 200);
+    int n = epoll_wait(me.epoll_fd, evs, 128, 200);
     if (s->stopping) return;
     std::vector<Conn*> reap;
     for (int i = 0; i < n; ++i) {
       void* ptr = evs[i].data.ptr;
       if (ptr == (void*)&s->listen_fd) {
+        // Only worker 0's epoll carries the listen fd; it assigns each
+        // accepted connection to a worker round-robin (registering an
+        // fd in another thread's live epoll set is kernel-safe).
         for (;;) {
           int fd = accept4(s->listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
           if (fd < 0) {
@@ -519,6 +546,7 @@ void io_loop(Server* s) {
           setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
           Conn* c = new Conn();
           c->fd = fd;
+          c->worker = (int)(s->rr.fetch_add(1) % s->workers.size());
           {
             std::lock_guard<std::mutex> lk(s->reg_m);
             s->conns[fd] = c;
@@ -527,18 +555,22 @@ void io_loop(Server* s) {
           epoll_event ev{};
           ev.events = EPOLLIN;
           ev.data.ptr = c;
-          epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, fd, &ev);
+          epoll_ctl(s->workers[c->worker].epoll_fd, EPOLL_CTL_ADD, fd,
+                    &ev);
         }
-      } else if (ptr == (void*)&s->wake_fd) {
+      } else if (ptr == (void*)&me.wake_fd) {
         uint64_t junk;
-        while (read(s->wake_fd, &junk, 8) == 8) {
+        while (read(me.wake_fd, &junk, 8) == 8) {
         }
-        // Router enqueued events: flush every connection with output.
+        // Router enqueued events: flush every connection THIS worker
+        // owns that has output (other workers got their own wake).
         std::vector<Conn*> cs;
         {
           std::lock_guard<std::mutex> lk(s->reg_m);
           cs.reserve(s->conns.size());
-          for (auto& kv : s->conns) cs.push_back(kv.second);
+          for (auto& kv : s->conns) {
+            if (kv.second->worker == widx) cs.push_back(kv.second);
+          }
         }
         for (Conn* c : cs) {
           flush_conn(s, c);
@@ -660,8 +692,8 @@ int assemble_impl(Server* s, T* dst) {
 extern "C" {
 
 void* cdt_ingest_start(const char* host, int port, int num_streams,
-                       int chunk, long buffer_cap, char* errbuf,
-                       int errlen) {
+                       int chunk, long buffer_cap, int num_workers,
+                       char* errbuf, int errlen) {
   auto* s = new Server();
   s->num_streams = num_streams;
   s->chunk = chunk;
@@ -701,18 +733,26 @@ void* cdt_ingest_start(const char* host, int port, int num_streams,
   getsockname(s->listen_fd, (sockaddr*)&addr, &alen);
   s->port = ntohs(addr.sin_port);
 
-  s->epoll_fd = epoll_create1(0);
-  s->wake_fd = eventfd(0, EFD_NONBLOCK);
+  int nw = num_workers < 1 ? 1 : (num_workers > 64 ? 64 : num_workers);
+  // Size the vector FULLY before any thread starts: worker wake_fd
+  // member addresses are epoll sentinels and must never move.
+  s->workers = std::vector<Worker>((size_t)nw);
+  for (int w = 0; w < nw; ++w) {
+    Worker& wk = s->workers[w];
+    wk.epoll_fd = epoll_create1(0);
+    wk.wake_fd = eventfd(0, EFD_NONBLOCK);
+    epoll_event wev{};
+    wev.events = EPOLLIN;
+    wev.data.ptr = (void*)&wk.wake_fd;
+    epoll_ctl(wk.epoll_fd, EPOLL_CTL_ADD, wk.wake_fd, &wev);
+  }
   epoll_event ev{};
   ev.events = EPOLLIN;
   ev.data.ptr = (void*)&s->listen_fd;
-  epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, s->listen_fd, &ev);
-  epoll_event wev{};
-  wev.events = EPOLLIN;
-  wev.data.ptr = (void*)&s->wake_fd;
-  epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, s->wake_fd, &wev);
-
-  s->io = std::thread(io_loop, s);
+  epoll_ctl(s->workers[0].epoll_fd, EPOLL_CTL_ADD, s->listen_fd, &ev);
+  for (int w = 0; w < nw; ++w) {
+    s->workers[w].th = std::thread(io_loop, s, w);
+  }
   return s;
 }
 
@@ -858,8 +898,10 @@ void cdt_ingest_send_events(void* h, int n, const int* slots,
   }
   if (any) {
     uint64_t one_u = 1;
-    ssize_t unused = write(s->wake_fd, &one_u, 8);
-    (void)unused;
+    for (auto& w : s->workers) {
+      ssize_t unused = write(w.wake_fd, &one_u, 8);
+      (void)unused;
+    }
   }
 }
 
@@ -878,9 +920,13 @@ void cdt_ingest_stop(void* h) {
   auto* s = (Server*)h;
   s->stopping = true;
   uint64_t one_u = 1;
-  ssize_t unused = write(s->wake_fd, &one_u, 8);
-  (void)unused;
-  if (s->io.joinable()) s->io.join();
+  for (auto& w : s->workers) {
+    ssize_t unused = write(w.wake_fd, &one_u, 8);
+    (void)unused;
+  }
+  for (auto& w : s->workers) {
+    if (w.th.joinable()) w.th.join();
+  }
   {
     std::lock_guard<std::mutex> lk(s->reg_m);
     for (auto& kv : s->conns) {
@@ -890,8 +936,10 @@ void cdt_ingest_stop(void* h) {
     s->conns.clear();
   }
   ::close(s->listen_fd);
-  ::close(s->epoll_fd);
-  ::close(s->wake_fd);
+  for (auto& w : s->workers) {
+    ::close(w.epoll_fd);
+    ::close(w.wake_fd);
+  }
   delete s;
 }
 
