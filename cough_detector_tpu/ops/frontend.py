@@ -268,13 +268,53 @@ def compute_deltas(features: jnp.ndarray) -> jnp.ndarray:
     return (padded[:, 2:, :] - padded[:, :-2, :]) / 2.0
 
 
+def _tail_sums_rank(band: jnp.ndarray, n_top: int, n_bot: int):
+    """Exact top-`n_top` / bottom-`n_bot` sums along the last axis via a
+    stable descending rank — no sort, no PartialReduce.
+
+    For the contrast bands only the tail *means* are needed, never the
+    sorted values, so selection reduces to a rank threshold: element a's
+    rank is |{b : x_b > x_a}| + |{b < a : x_b == x_a}| (a permutation of
+    0..W-1 — the index tiebreak makes it stable, so tail sums are
+    bit-identical to summing a stable sort's slices). One O(W²)
+    broadcast-compare-reduce serves BOTH tails.
+
+    Measured on v5e (r5, docs/PARITY.md): ~9% SLOWER than the
+    approx_k selection pair for the shipped ≤64-bin bands (the
+    (W, W) minor-dim compare wastes half the vector lanes at W=64),
+    so this is the non-default formulation — kept because it is
+    PartialReduce-free (portable to backends where approx_k lowers
+    badly) and exactness-tested against a float64 sort oracle.
+    """
+    w = band.shape[-1]
+    idx = np.arange(w, dtype=np.int32)
+    tie = jnp.asarray(idx[None, :] < idx[:, None])  # [a, b]: b before a
+    a = band[..., :, None]  # (..., W, 1) — element whose rank we compute
+    b = band[..., None, :]  # (..., 1, W) — everything it competes against
+    rank = jnp.sum(
+        ((b > a) | ((b == a) & tie)).astype(jnp.int32), axis=-1
+    )  # (..., W)
+    top = jnp.sum(jnp.where(rank < n_top, band, 0.0), axis=-1)
+    bot = jnp.sum(jnp.where(rank >= w - n_bot, band, 0.0), axis=-1)
+    return top, bot
+
+
 def spectral_contrast(
-    waveform: jnp.ndarray, cfg: FeatureConfig, method: str = "fft"
+    waveform: jnp.ndarray, cfg: FeatureConfig, method: str = "fft",
+    tails: str = "auto",
 ) -> jnp.ndarray:
     """(B, S) → (B, T, n_bands+1): per-band peak-valley contrast + centroid.
 
     `method` picks the STFT formulation: "fft" (parity reference) or "gemm"
     (MXU-native, used by the fused-kernel hybrid path on TPU).
+    `tails` picks the tail-mean formulation: "select"
+    (lax.approx_{max,min}_k at recall 1.0 — the default everywhere) or
+    "rank" (stable-rank masked sums — O(W²) compare-reduce, no
+    PartialReduce). Both are exact selections; they differ only in f32
+    summation order. Measured head-to-head on v5e r5 (docs/PARITY.md):
+    select wins by ~9% on the full contrast stage (42.8 vs 46.7 ms per
+    8k batch), so "auto" resolves to select; rank stays as a tested
+    fallback for backends where PartialReduce lowers poorly.
 
     Ports the reference's hand-rolled contrast
     (reference: src/preprocessing.py:242-303): 6 log-spaced bands of the
@@ -316,6 +356,8 @@ def spectral_contrast(
         )
     t = spec.shape[1]
     n_bands = cfg.n_contrast_bands
+    if tails == "auto":
+        tails = "select"
 
     # torch.logspace(0, log10(n_freqs), n_bands+2).int() — trunc toward zero.
     edges = np.logspace(0.0, np.log10(n_freqs), n_bands + 2)
@@ -356,20 +398,25 @@ def spectral_contrast(
         if n_bins == 1:
             rows.append(jnp.zeros(spec.shape[:2], spec.dtype))
             continue
-        if n_top == 1:
-            peaks = jnp.max(band, axis=2)
+        if tails == "rank" and (n_top > 1 or bot_idx > 1):
+            tops, bots = _tail_sums_rank(band, n_top, bot_idx)
+            peaks = tops / n_top
+            valleys = bots / bot_idx
         else:
-            peaks = jnp.mean(
-                jax.lax.approx_max_k(band, n_top, recall_target=1.0)[0],
-                axis=2,
-            )
-        if bot_idx == 1:
-            valleys = jnp.min(band, axis=2)
-        else:
-            valleys = jnp.mean(
-                jax.lax.approx_min_k(band, bot_idx, recall_target=1.0)[0],
-                axis=2,
-            )
+            if n_top == 1:
+                peaks = jnp.max(band, axis=2)
+            else:
+                peaks = jnp.mean(
+                    jax.lax.approx_max_k(band, n_top, recall_target=1.0)[0],
+                    axis=2,
+                )
+            if bot_idx == 1:
+                valleys = jnp.min(band, axis=2)
+            else:
+                valleys = jnp.mean(
+                    jax.lax.approx_min_k(band, bot_idx, recall_target=1.0)[0],
+                    axis=2,
+                )
         rows.append(jnp.log1p(peaks) - jnp.log1p(valleys))
 
     # Spectral centroid over a full-n_fft-window magnitude spectrogram

@@ -5,6 +5,7 @@ full stacked pipeline. Tolerance: the ≤1e-3 relative budget from BASELINE.md,
 tightened where float32 allows.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -104,6 +105,47 @@ class TestOptionalBranches:
         ours = frontend.spectral_contrast(cough_wave[None], CFG)[0]  # (T, 7)
         theirs = gold.spectral_contrast(torch.from_numpy(cough_wave)).numpy().T
         assert _rel_err(ours, theirs) < 1e-3
+
+    def test_spectral_contrast_rank_tails_match_select(self, cough_wave):
+        # The TPU-default stable-rank tail formulation and the r3
+        # approx_k selection are both exact; they may differ only in f32
+        # summation order inside the tail means.
+        sel = frontend.spectral_contrast(cough_wave[None], CFG, tails="select")
+        rnk = frontend.spectral_contrast(cough_wave[None], CFG, tails="rank")
+        np.testing.assert_allclose(
+            np.asarray(rnk), np.asarray(sel), rtol=1e-5, atol=1e-6
+        )
+
+    @pytest.mark.parametrize(
+        "kind", ["random", "ties", "sorted", "reverse", "constant", "zeros"]
+    )
+    def test_tail_sums_rank_exact(self, kind):
+        # Adversarial selection inputs vs a float64 sort oracle: the rank
+        # threshold must select exactly the k largest / smallest values,
+        # including under heavy ties (index tiebreak keeps ranks a
+        # permutation, so exactly k elements land in each tail).
+        rng = np.random.default_rng(7)
+        w = 29
+        x = rng.random((4, 11, w)).astype(np.float32)
+        if kind == "ties":
+            x = np.round(x * 4.0) / 4.0
+        elif kind == "sorted":
+            x = np.sort(x, axis=-1)
+        elif kind == "reverse":
+            x = np.sort(x, axis=-1)[..., ::-1].copy()
+        elif kind == "constant":
+            x = np.full_like(x, 0.625)
+        elif kind == "zeros":
+            x = np.zeros_like(x)
+        for n_top, n_bot in [(1, 1), (2, 5), (6, 6), (28, 3)]:
+            top, bot = frontend._tail_sums_rank(jnp.asarray(x), n_top, n_bot)
+            xs = np.sort(x.astype(np.float64), axis=-1)
+            np.testing.assert_allclose(
+                np.asarray(top), xs[..., w - n_top:].sum(-1), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(bot), xs[..., :n_bot].sum(-1), rtol=1e-6
+            )
 
 
 class TestWaveformStages:
